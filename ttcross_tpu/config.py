@@ -1,0 +1,48 @@
+"""Global configuration for ttcross-tpu.
+
+The reference library (aukeschaap/ttcross) is a double-precision Fortran code
+(dmrgg.f90:62-84 dispatches on storage_size(1.d0)).  We make float64 the
+default compute dtype and enable JAX x64 at import time; opt out with
+TTCROSS_NO_X64=1 to run a float32 tier (the analogue of compiling the
+reference with -fdefault-real-4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+if not os.environ.get("TTCROSS_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype() -> jnp.dtype:
+    """Default real dtype (f64 unless x64 is disabled)."""
+    return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+
+def default_complex_dtype() -> jnp.dtype:
+    return jnp.complex128 if jax.config.read("jax_enable_x64") else jnp.complex64
+
+
+def eps(dtype=None) -> float:
+    """Machine epsilon of the given (or default) real dtype."""
+    return float(jnp.finfo(dtype or default_dtype()).eps)
+
+
+def precision_thresholds(dtype=None) -> tuple[float, float]:
+    """(small_element, small_pivot) acceptance thresholds per dtype.
+
+    Mirrors the reference's precision dispatch (dmrgg.f90:62-84):
+      real*4  -> (5 eps, 1e-3);  real*8 -> (10 eps, 1e-5);
+      real*16 -> (50 eps, 1e-7).
+    """
+    dt = jnp.dtype(dtype or default_dtype())
+    e = float(jnp.finfo(dt).eps)
+    if dt.itemsize <= 4:
+        return 5.0 * e, 1.0e-3
+    if dt.itemsize == 8:
+        return 10.0 * e, 1.0e-5
+    return 50.0 * e, 1.0e-7
