@@ -1,0 +1,108 @@
+"""Ising susceptibility integrands C_m / D_m / E_m.
+
+TPU-native redesign of dfunc_ising_discr (test_crs_ising.f90:176-218).
+The reference evaluates one multi-index at a time with O(d^2) nested scalar
+loops; here the integrand is batched over a (B, d) index matrix and the
+pairwise product structure is vectorized:
+
+  with node values x_1..x_d and prefix products P_0..P_d (P_0 = 1,
+  P_j = x_1...x_j), the nested quantity u_ij = prod_{t=i+1..j} x_t equals
+  P_j / P_i, so the a-term prod_{i<j} ((u_ij-1)/(u_ij+1))^2 becomes a masked
+  pairwise reduction over the (d+1)x(d+1) prefix outer ratio -- pure VPU
+  work; the b-term 1/(v w) uses prefix and suffix cumulative sums of
+  products.
+
+Conventions follow the driver (test_crs_ising.f90): the integral "C_m" is
+discretized over d = m-1 variables (tt%m = m-1, line 147); the integrand
+multiplies the per-dimension quadrature weights itself (lines 214-217),
+while the rank-1 quad tensor carries only the underflow-rescaling factors
+1/val with the weights pre-multiplied by val (lines 134-144).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quadrature import lgwt
+
+__all__ = ["IsingProblem", "make_ising", "ising_integrand"]
+
+_KIND_ID = {"C": 1, "D": 2, "E": 3}
+
+
+def ising_integrand(ind, nodes, weights, kind: str):
+    """Batched Ising integrand: ind (B, d) int32 -> (B,) values.
+
+    kind 'C' -> 2b, 'D' -> 2ab, 'E' -> 2a, each times prod of weights
+    (ids 1/2/3 in test_crs_ising.f90:206-212)."""
+    kid = _KIND_ID[kind.upper()]
+    x = nodes[ind]       # (B, d)
+    w = weights[ind]     # (B, d)
+    B, d = x.shape
+    one = jnp.ones((B, 1), dtype=x.dtype)
+
+    f = jnp.full((B,), 2.0, dtype=x.dtype)
+    if kid in (2, 3):  # a-term
+        P = jnp.concatenate([one, jnp.cumprod(x, axis=1)], axis=1)  # (B, d+1)
+        num = P[:, None, :] - P[:, :, None]   # P_j - P_i at [b, i, j]
+        den = P[:, None, :] + P[:, :, None]
+        ratio = jnp.where(den == 0, 0.0, num / den) ** 2
+        iu = jnp.triu(jnp.ones((d + 1, d + 1), dtype=bool), k=1)
+        a = jnp.prod(jnp.where(iu[None, :, :], ratio, 1.0), axis=(1, 2))
+        f = f * a
+    if kid in (1, 2):  # b-term
+        pre = jnp.cumprod(x, axis=1)             # prefix products
+        suf = jnp.cumprod(x[:, ::-1], axis=1)    # suffix products
+        v = 1.0 + jnp.sum(suf, axis=1)
+        wv = 1.0 + jnp.sum(pre, axis=1)
+        f = f / (v * wv)
+    return f * jnp.prod(w, axis=1)
+
+
+@dataclass(frozen=True)
+class IsingProblem:
+    """Problem bundle: batched integrand, rank-1 quad weights, truth."""
+
+    kind: str
+    m: int                    # integral index (C_m / D_m / E_m)
+    d: int                    # TT dimension = m - 1
+    n: int                    # quadrature size (odd)
+    nodes: np.ndarray         # (n,) Gauss-Legendre nodes mapped to [0, 1]
+    weights: np.ndarray       # (n,) rescaled weights applied by the integrand
+    quad_weights: np.ndarray  # (n,) per-mode entries of the rank-1 quad tensor
+    truth: float | None = None
+    rescale: bool = field(default=False)
+
+    def fun(self, ind):
+        return ising_integrand(ind, jnp.asarray(self.nodes), jnp.asarray(self.weights), self.kind)
+
+
+def make_ising(kind: str = "C", m: int = 6, n: int = 65) -> IsingProblem:
+    """Build the discretized Ising problem exactly as the reference driver
+    does (test_crs_ising.f90:102-144): Gauss-Legendre on [0,1] with the
+    measure normalization, plus underflow rescaling for D/E with m >= 10."""
+    kind = kind.upper()
+    if kind not in _KIND_ID:
+        raise ValueError(f"unknown Ising integral kind: {kind}")
+    if n % 2 == 0:
+        n += 1  # the driver adjusts even n (test_crs_ising.f90:40)
+    d = m - 1
+    x, w = lgwt(n)
+    w = 0.5 * w                 # make it a measure on [0,1]
+    x = (x + 1.0) / 2.0         # [-1,1] -> [0,1]
+    rescale = kind in ("D", "E") and m >= 10
+    val = 5.0 * (n // 2) if rescale else float(n // 2)
+    weights = w * val
+    quad_weights = np.full(n, 1.0 / val)
+
+    from .truths import ising_truth
+
+    try:
+        truth = ising_truth(kind, m)
+    except KeyError:
+        truth = None
+    return IsingProblem(kind=kind, m=m, d=d, n=n, nodes=x, weights=weights,
+                        quad_weights=quad_weights, truth=truth, rescale=rescale)

@@ -1,0 +1,83 @@
+"""Equicorrelated multivariate-normal pdf integrand.
+
+Maps mvn_pdf.f90: the lognormal-model covariance (sigma = 0.4, corr = 0.5,
+X0 = log 100, mvn_init at mvn_pdf.f90:15-60) and the Mahalanobis-exponent
+pdf (mvn_pdf.f90:63-83).  Instead of module-global state and LAPACK
+dgetrf/dgetri, the problem is an immutable bundle with the inverse
+covariance precomputed on host; the pdf itself is a batched einsum.
+
+Used by the MVN probability driver (test_crs_mvn.f90: mass = 1 on the
+cumulant box [0.52517, 8.52517]) and by the CHF / pdf / COS pipelines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.quadrature import lgwt, map_to_interval
+
+__all__ = ["MvnDensity", "make_mvn_density", "MvnProblem", "make_mvn"]
+
+# Cumulant-derived integration box with L = 10 (test_crs_mvn.f90:81-83)
+MVN_BOX = (0.525170, 8.525170)
+
+
+@dataclass(frozen=True)
+class MvnDensity:
+    """N(mu, cov) density with precomputed inverse covariance."""
+
+    mu: np.ndarray
+    cov: np.ndarray
+    inv_cov: np.ndarray
+    det_cov: float
+
+    @property
+    def d(self) -> int:
+        return self.mu.shape[0]
+
+    def pdf(self, x):
+        """Batched pdf: x (B, d) -> (B,)."""
+        x = jnp.asarray(x)
+        diff = x - jnp.asarray(self.mu)
+        expo = jnp.einsum("bi,ij,bj->b", diff, jnp.asarray(self.inv_cov), diff)
+        norm = np.sqrt((2.0 * np.pi) ** self.d * self.det_cov)
+        return jnp.exp(-0.5 * expo) / norm
+
+
+def make_mvn_density(d: int, r: float = 0.0, T: float = 1.0,
+                     sigma: float = 0.4, corr: float = 0.5) -> MvnDensity:
+    """Equicorrelated lognormal-model density (mvn_init, mvn_pdf.f90:15-60)."""
+    X0 = np.log(100.0)
+    mu = np.full(d, X0 + (r - 0.5 * sigma**2) * T)
+    cov = np.full((d, d), sigma * corr * sigma * T)
+    np.fill_diagonal(cov, sigma * sigma * T)
+    inv_cov = np.linalg.inv(cov)
+    det_cov = float(np.linalg.det(cov))
+    return MvnDensity(mu=mu, cov=cov, inv_cov=inv_cov, det_cov=det_cov)
+
+
+@dataclass(frozen=True)
+class MvnProblem:
+    d: int
+    n: int
+    nodes: np.ndarray
+    quad_weights: np.ndarray
+    density: MvnDensity
+    truth: float
+
+    def fun(self, ind):
+        x = jnp.asarray(self.nodes)[ind]
+        return self.density.pdf(x)
+
+
+def make_mvn(d: int = 6, n: int = 65, r: float = 0.0, T: float = 1.0) -> MvnProblem:
+    if n % 2 == 0:
+        n += 1
+    a, b = MVN_BOX
+    x, w = lgwt(n)
+    x, w = map_to_interval(x, w, a, b)
+    return MvnProblem(d=d, n=n, nodes=x, quad_weights=w,
+                      density=make_mvn_density(d, r, T), truth=1.0)
