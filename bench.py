@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark driver: Ising C_6 north-star config (test_crs_ising.exe C 6 64 24 1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no throughput numbers (BASELINE.md: "published": {});
+vs_baseline is therefore measured against NOMINAL_REF_EVALS_PER_SEC, a stated
+nominal for the reference Fortran MPI+OpenMP build on a 64-core node
+(O(0.1-1 us) per integrand eval across 64 threads, derated for MPI sync).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NOMINAL_REF_EVALS_PER_SEC = 1.0e6
+
+
+def main():
+    import ttcross_tpu  # noqa: F401  (x64)
+    import jax
+    from ttcross_tpu.apps import make_ising
+    from ttcross_tpu.cross import cross
+
+    prob = make_ising("C", m=6, n=64)  # driver adjusts to 65
+    args = dict(max_rank=24, accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+
+    # warm-up run: pays compilation
+    t0 = time.time()
+    res = cross(prob.fun, [prob.n] * prob.d, **args)
+    warm = time.time() - t0
+
+    # timed run with cached compilation
+    t0 = time.time()
+    res = cross(prob.fun, [prob.n] * prob.d, **args)
+    elapsed = time.time() - t0
+
+    digits = -np.log10(res.errors[-1]) if res.errors else float("nan")
+    evals_per_sec = res.neval / elapsed
+    # sweep index where rel err first dropped below 1e-10
+    t_hit = next((i for i, e in enumerate(res.errors) if e <= 1e-10), None)
+    out = {
+        "metric": "ising_c6_evals_per_sec",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/sec",
+        "vs_baseline": round(evals_per_sec / NOMINAL_REF_EVALS_PER_SEC, 3),
+        "device": str(jax.devices()[0]),
+        "correct_digits": round(float(digits), 2),
+        "n_evals": int(res.neval),
+        "wall_time_s": round(elapsed, 3),
+        "warmup_time_s": round(warm, 3),
+        "sweeps": res.sweeps,
+        "first_sweep_below_1e-10": t_hit,
+        "max_rank": max(res.ranks),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

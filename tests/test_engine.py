@@ -1,0 +1,101 @@
+"""Cross-engine tests: exact-rank recovery, pivoting modes, and
+correct-digits parity with the reference drivers (SURVEY.md §4, §7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ttcross_tpu.tt as tt
+from ttcross_tpu.apps import make_ising, make_stdnorm
+from ttcross_tpu.cross import cross
+from ttcross_tpu.cross.accchk import accchk
+
+
+def make_low_rank(rng, d, n, ranks):
+    cores = [rng.standard_normal((ranks[i], n, ranks[i + 1])) for i in range(d)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    return T, dense, fun
+
+
+@pytest.mark.parametrize("pivoting", [1, 0, -1, 2])
+def test_exact_rank_recovery(rng, pivoting):
+    _, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
+    res = cross(fun, [7] * 3, max_rank=4, pivoting=pivoting, accuracy=1e-12)
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-12
+    assert res.ranks == (1, 2, 2, 1)
+
+
+def test_exact_rank_recovery_d5(rng):
+    _, dense, fun = make_low_rank(rng, 5, 6, (1, 2, 3, 3, 2, 1))
+    res = cross(fun, [6] * 5, max_rank=5, pivoting=1, accuracy=1e-12)
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-11
+
+
+def test_stdnorm_digits():
+    """Rank-1 product Gaussian: engine must stay rank 1 and the quadrature
+    value must match pi^(d/2) (test_crs_stdnorm parity)."""
+    prob = make_stdnorm(d=6, n=65)
+    res = cross(prob.fun, [prob.n] * 6, max_rank=6, accuracy=25e-16,
+                pivoting=1, quad=[prob.quad_weights] * 6, truth=prob.truth)
+    digits = -np.log10(res.errors[-1])
+    assert digits >= 12, (res.errors[-1], digits)
+    assert max(res.ranks) == 1  # separable integrand stays rank-1
+    assert res.converged
+
+
+def test_ising_c4_digits():
+    """Ising C_4 (d=3) to >= 9 digits by rank 16 (test_crs_ising parity)."""
+    prob = make_ising("C", m=4, n=65)
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=16, accuracy=500 * 2.2e-16,
+                pivoting=1, quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    digits = -np.log10(res.errors[-1])
+    assert digits >= 9, (res.errors[-1], digits)
+
+
+def test_accchk_interpolation(rng):
+    """The finalized TT must interpolate the black box well everywhere
+    (dtt_accchk parity)."""
+    _, dense, fun = make_low_rank(rng, 4, 6, (1, 2, 2, 2, 1))
+    res = cross(fun, [6] * 4, max_rank=4, pivoting=1, accuracy=1e-12)
+    chk = accchk(res.tt, fun, nlot=4096)
+    assert chk["einf"] <= 1e-11 * max(1.0, chk["ainf"])
+
+
+def test_quad_values_match_final_contract(rng):
+    """Per-sweep quadrature value must equal contracting the finalized TT."""
+    _, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
+    w = [rng.standard_normal(7) for _ in range(3)]
+    res = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12, quad=w)
+    final = float(tt.contract(res.tt, w))
+    assert abs(res.values[-1] - final) < 1e-10 * max(1.0, abs(final))
+
+
+def test_ragged_modes(rng):
+    """Per-mode sizes may differ (padding machinery)."""
+    ns = (5, 8, 6)
+    cores = [rng.standard_normal((r1, n, r2)) for (r1, r2), n in
+             zip([(1, 2), (2, 2), (2, 1)], ns)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    res = cross(fun, ns, max_rank=4, pivoting=1, accuracy=1e-12)
+    assert res.tt.n == ns
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-11
+
+
+def test_neval_counts_are_active_only(rng):
+    _, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
+    res = cross(fun, [7] * 3, max_rank=3, pivoting=1)
+    assert res.neval < 7**3  # far fewer evals than the full tensor

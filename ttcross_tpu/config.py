@@ -17,6 +17,18 @@ import jax.numpy as jnp
 if not os.environ.get("TTCROSS_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: compiles on the TPU toolchain are slow
+# (tens of seconds); cache them across processes.
+_cache_dir = os.environ.get("TTCROSS_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/ttcross_tpu_xla"))
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 
 def default_dtype() -> jnp.dtype:
     """Default real dtype (f64 unless x64 is disabled)."""

@@ -1,0 +1,614 @@
+"""Single-process DMRG-greedy TT-cross engine, jit-compiled per sweep.
+
+TPU-native re-architecture of dtt_dmrgg (dmrgg.f90:11-1050).  Structure of a
+sweep (one rank increment per bond, alternating direction, dmrgg.f90:314-323)
+is preserved exactly — the greedy pivot acceptance rule, the two-threshold
+test, the rook/lottery/full pivot hunts, and the strike-based stopping —
+but every mechanism is rebuilt for XLA:
+
+  * dynamic rank growth  -> static padding + active-rank masks (state.py)
+  * OMP scalar fun loops -> batched integrand fun(ind[B, d]) -> (B,)
+  * vip chain walks      -> per-bond scanned index tables (chains.py)
+  * idamax chains        -> masked argmax over scored candidate batches
+  * incremental LU dgemv -> masked borders + batched triangular solves (ops/lu.py)
+  * per-iteration quad   -> contracted (R, R) chain with LU solves, one einsum
+                            per core (dmrgg.f90:975-1006)
+
+The per-sweep function compiles once; the Python driver loop only handles
+progress printing and the stopping rule, mirroring the reference's per-
+iteration report (dmrgg.f90:969-1019).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import precision_thresholds
+from ..ops import lu as lulib
+from ..tt.types import TT
+from .chains import assemble_indices, left_table, right_table
+from .state import CrossState, empty_state
+
+__all__ = ["CrossResult", "cross", "make_engine"]
+
+
+@dataclass(frozen=True)
+class CrossConfig:
+    d: int
+    n: tuple[int, ...]   # per-mode sizes
+    N: int               # padded mode size = max(n)
+    R: int               # padded rank = maxrank
+    piv: int             # -1 full, 0 lottery, >=1 rook searches
+    small_element: float
+    small_pivot: float
+    snum: int = 8        # shifted diagonals in the initial search (smin, dmrgg.f90:29)
+
+
+@dataclass
+class CrossResult:
+    tt: TT
+    neval: int
+    sweeps: int
+    ranks: tuple[int, ...]
+    values: list
+    errors: list
+    time: float
+    converged: bool
+
+
+def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
+    return lulib.GrowingLU(
+        c=jax.lax.dynamic_index_in_dim(st.lu_c, b, 0, keepdims=False),
+        u=jax.lax.dynamic_index_in_dim(st.lu_u, b, 0, keepdims=False),
+        d=jax.lax.dynamic_index_in_dim(st.lu_d, b, 0, keepdims=False),
+    )
+
+
+def _at(arr, c):
+    return jax.lax.dynamic_index_in_dim(arr, c, 0, keepdims=False)
+
+
+_ENGINE_CACHE: dict = {}
+_ENGINE_PINS: list = []  # keep integrand objects alive so id() keys stay valid
+
+
+def get_engine(fun: Callable, cfg: CrossConfig):
+    """Memoized make_engine: repeated cross() calls with the same integrand
+    and config reuse the compiled XLA executables (compilation through the
+    TPU toolchain is expensive; tracing fresh jitted closures per call would
+    recompile every time).  Bound methods are keyed by their bound object so
+    `prob.fun` hits the cache across accesses."""
+    target = getattr(fun, "__self__", fun)
+    key = (id(target), getattr(fun, "__name__", None), cfg)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        _ENGINE_PINS.append(target)
+        eng = _ENGINE_CACHE[key] = make_engine(fun, cfg)
+    return eng
+
+
+def make_engine(fun: Callable, cfg: CrossConfig):
+    """Build the jitted phases: (init_fn, sweep_fn, value_fn).
+
+    fun: batched integrand ind(B, d) int32 -> (B,) values."""
+    d, N, R = cfg.d, cfg.N, cfg.R
+    n_arr = jnp.asarray(cfg.n, dtype=jnp.int32)
+    NLOT = 2 * (R + N)
+    iR = jnp.arange(R)
+    iN = jnp.arange(N)
+
+    # ---------------------------------------------------------------- init
+    @jax.jit
+    def init_fn(key) -> CrossState:
+        """Initial pivot search over shifted diagonals + rank-1 cross
+        (dmrgg.f90:151-248)."""
+        st = empty_state(d, N, R, key)
+        nn = int(min(cfg.n))
+        # candidates ind[k + s*nn, p] = (k + s*p) mod n_p
+        ks = jnp.arange(nn)[None, :, None]            # (1, nn, 1)
+        ss = jnp.arange(cfg.snum)[:, None, None]      # (snum, 1, 1)
+        ps = jnp.arange(d)[None, None, :]             # (1, 1, d)
+        cand = jnp.reshape((ks + ss * ps) % n_arr[None, None, :], (-1, d)).astype(jnp.int32)
+        vals = fun(cand)
+        best = jnp.argmax(jnp.abs(vals))
+        amax = jnp.abs(vals[best])
+        ind0 = cand[best]                              # (d,)
+
+        # initial vip: (0, ind0[b], ind0[b+1], 0) per bond
+        vip = st.vip.at[:, 0, 1].set(ind0[:-1]).at[:, 0, 2].set(ind0[1:])
+
+        # rank-1 fibers: for each core c vary mode c over its grid
+        fib_ind = jnp.broadcast_to(ind0, (d, N, d)).reshape(-1, d)
+        mode_pos = jnp.repeat(jnp.arange(d), N)
+        mode_val = jnp.tile(iN, d)
+        col = jnp.arange(d)
+        fib_ind = jnp.where(col[None, :] == mode_pos[:, None],
+                            jnp.minimum(mode_val, n_arr[mode_pos] - 1)[:, None], fib_ind)
+        fvals = fun(fib_ind.astype(jnp.int32)).reshape(d, N)
+        fmask = iN[None, :] < n_arr[:, None]
+        fvals = jnp.where(fmask, fvals, 0.0)
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(fvals)))
+
+        cores = st.cores.at[:, 0, :, 0].set(fvals)
+        delta = fvals[0, ind0[0]]                      # = A(ind0), same for all fibers
+        lu_d = st.lu_d.at[:, 0].set(delta)
+        colf = st.colf.at[:, 0, :, 0].set(fvals / delta)  # d2_lual at r=1 divides by pivot
+        rowf = st.rowf.at[:, 0, :, 0].set(fvals)          # d2_luar at r=1 is a no-op
+        neval = jnp.asarray(cfg.snum * nn + int(sum(cfg.n)), jnp.int64)
+        return st._replace(cores=cores, colf=colf, rowf=rowf, vip=vip, lu_d=lu_d,
+                           amax=amax, pivotmax_prev=amax, neval=neval, key=key)
+
+    # ----------------------------------------------------------- bond visit
+    def _eval_col_fiber(st, p, ltab, rtab, kk, qq):
+        """Raw column fiber acol(R, N) at fixed (kk, qq), masked to the
+        active (rk[p], n_p) block; returns (acol, amax', neval')."""
+        i_g = jnp.repeat(iR, N)
+        j_g = jnp.tile(iN, R)
+        ind = assemble_indices(ltab, rtab, p, i_g, j_g,
+                               jnp.full_like(i_g, kk), jnp.full_like(i_g, qq), d)
+        vals = fun(ind).reshape(R, N)
+        mask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
+        vals = jnp.where(mask, vals, 0.0)
+        amax = jnp.maximum(st.amax, jnp.max(jnp.abs(vals)))
+        neval = st.neval + (st.rk[p] * n_arr[p]).astype(jnp.int64)
+        return vals, amax, neval
+
+    def _eval_row_fiber(st, p, ltab, rtab, ii, jj):
+        """Raw row fiber arow(N, R) at fixed (ii, jj), masked to (n_{p+1},
+        rk[p+2])."""
+        k_g = jnp.repeat(iN, R)
+        q_g = jnp.tile(iR, N)
+        ind = assemble_indices(ltab, rtab, p, jnp.full_like(k_g, ii),
+                               jnp.full_like(k_g, jj), k_g, q_g, d)
+        vals = fun(ind).reshape(N, R)
+        mask = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
+        vals = jnp.where(mask, vals, 0.0)
+        amax = jnp.maximum(st.amax, jnp.max(jnp.abs(vals)))
+        neval = st.neval + (n_arr[p + 1] * st.rk[p + 2]).astype(jnp.int64)
+        return vals, amax, neval
+
+    def _col_residual(st, p, acol, kk, qq):
+        """bcol = acol - colf[p] @ rowf[p+1][:, kk, qq]  (dmrgg.f90:537-539)."""
+        rmask = (iR < st.rk[p + 1]).astype(acol.dtype)
+        u = _at(st.rowf, p + 1)[:, kk, qq] * rmask        # (R,)
+        approx = jnp.tensordot(_at(st.colf, p), u, axes=[[2], [0]])  # (R, N)
+        return acol - approx
+
+    def _row_residual(st, p, arow, ii, jj):
+        """brow = arow - colf[p][ii, jj, :] @ rowf[p+1]  (dmrgg.f90:570-572)."""
+        rmask = (iR < st.rk[p + 1]).astype(arow.dtype)
+        c = _at(st.colf, p)[ii, jj, :] * rmask            # (R,)
+        approx = jnp.tensordot(c, _at(st.rowf, p + 1), axes=[[0], [0]])  # (N, R)
+        return arow - approx
+
+    def _masked_argmax2(x, mask):
+        score = jnp.where(mask, jnp.abs(x), -1.0)
+        flat = jnp.argmax(score.reshape(-1))
+        return flat // x.shape[1], flat % x.shape[1]
+
+    def _hunt_lottery(st: CrossState, p, ltab, rtab):
+        """Weighted lottery over candidate rows/cols (lottery2, rnd.f90:105-126;
+        dmrgg.f90:410-487), residual scoring, seed pivot."""
+        key, sub1, sub2 = jax.random.split(st.key, 3)
+        dt = st.cores.dtype
+
+        # layouts: columns (i, j) flattened i*N + j; rows (q, k) flattened q*N + k
+        colmask = ((iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])).reshape(-1)
+        rowmask = ((iR[:, None] < st.rk[p + 2]) & (iN[None, :] < n_arr[p + 1])).reshape(-1)
+        # zero weight on already-used pivots (dmrgg.f90:432-439)
+        vb = _at(st.vip, p)                       # (R, 4)
+        smask = iR < st.rk[p + 1]
+        used_col = jnp.zeros((R * N,), bool).at[vb[:, 0] * N + vb[:, 1]].max(smask)
+        used_row = jnp.zeros((N * R,), bool).at[vb[:, 3] * N + vb[:, 2]].max(smask)
+        wcol = colmask & ~used_col
+        wrow = rowmask & ~used_row
+        logit_c = jnp.where(wcol, 0.0, -jnp.inf)
+        logit_r = jnp.where(wrow, 0.0, -jnp.inf)
+        lin_c = jax.random.categorical(sub1, logit_c, shape=(NLOT,))
+        lin_r = jax.random.categorical(sub2, logit_r, shape=(NLOT,))
+        i_c, j_c = lin_c // N, lin_c % N
+        q_c, k_c = lin_r // N, lin_r % N
+
+        nlot_act = st.rk[p] + n_arr[p] + n_arr[p + 1] + st.rk[p + 2]
+        candmask = jnp.arange(NLOT) < nlot_act
+
+        ind = assemble_indices(ltab, rtab, p, i_c, j_c, k_c, q_c, d)
+        b = fun(ind)
+        amax = jnp.maximum(st.amax, jnp.max(jnp.where(candmask, jnp.abs(b), 0.0)))
+        neval = st.neval + nlot_act.astype(jnp.int64)
+
+        # residual b - colf[p][i,j,:] . rowf[p+1][:,k,q]  (dmrgg.f90:469-476)
+        rmask = (iR < st.rk[p + 1]).astype(dt)
+        cf = _at(st.colf, p)[i_c, j_c, :]                 # (NLOT, R)
+        rf = _at(st.rowf, p + 1)[:, k_c, q_c]             # (R, NLOT)
+        resid = b - jnp.sum(cf * rf.T * rmask[None, :], axis=1)
+        best = jnp.argmax(jnp.where(candmask, jnp.abs(resid), -1.0))
+        st = st._replace(amax=amax, neval=neval, key=key)
+        return st, (i_c[best], j_c[best], k_c[best], q_c[best]), resid[best]
+
+    def _rook(st: CrossState, p, ltab, rtab, seed, pivot0, dir_fwd):
+        """Rook pivoting (dmrgg.f90:515-582): alternate column/row
+        maximization until stationary or crs >= 2 piv."""
+        ii0, jj0, kk0, qq0 = seed
+        dt = st.cores.dtype
+        acol0 = jnp.zeros((R, N), dt)
+        arow0 = jnp.zeros((N, R), dt)
+        # carry: ii jj kk qq pivot acol arow havecol haverow crs done skipcol amax neval
+        carry0 = (ii0, jj0, kk0, qq0, pivot0, acol0, arow0,
+                  jnp.asarray(False), jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                  jnp.asarray(False), ~dir_fwd, st.amax, st.neval)
+
+        def col_pass(c):
+            (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval) = c
+            stv = st._replace(amax=amax, neval=neval)
+            acol, amax, neval = _eval_col_fiber(stv, p, ltab, rtab, kk, qq)
+            havecol = jnp.asarray(True)
+            crs = crs + 1
+            done = havecol & haverow & (crs >= 2 * cfg.piv)
+
+            def upd(args):
+                ii, jj, pivot = args
+                bcol = _col_residual(st, p, acol, kk, qq)
+                mask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
+                i2, j2 = _masked_argmax2(bcol, mask)
+                stat = havecol & haverow & (i2 == ii) & (j2 == jj)
+                return i2, j2, bcol[i2, j2], stat
+
+            ii, jj, pivot, stat = jax.lax.cond(
+                done, lambda a: (a[0], a[1], a[2], jnp.asarray(False)), upd, (ii, jj, pivot))
+            done = done | stat
+            return (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval)
+
+        def row_pass(c):
+            (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval) = c
+            stv = st._replace(amax=amax, neval=neval)
+            arow, amax, neval = _eval_row_fiber(stv, p, ltab, rtab, ii, jj)
+            haverow = jnp.asarray(True)
+            crs = crs + 1
+            done = havecol & haverow & (crs >= 2 * cfg.piv)
+
+            def upd(args):
+                kk, qq, pivot = args
+                brow = _row_residual(st, p, arow, ii, jj)
+                mask = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
+                k2, q2 = _masked_argmax2(brow, mask)
+                stat = havecol & haverow & (k2 == kk) & (q2 == qq)
+                return k2, q2, brow[k2, q2], stat
+
+            kk, qq, pivot, stat = jax.lax.cond(
+                done, lambda a: (a[0], a[1], a[2], jnp.asarray(False)), upd, (kk, qq, pivot))
+            done = done | stat
+            return (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval)
+
+        def body(c):
+            skipcol = c[11]
+            c = jax.lax.cond(skipcol, lambda x: x, col_pass, c)
+            c = c[:11] + (jnp.asarray(False),) + c[12:]
+            done = c[10]
+            c = jax.lax.cond(done, lambda x: x, row_pass, c)
+            return c
+
+        def cond(c):
+            return ~c[10]
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        (ii, jj, kk, qq, pivot, acol, arow, *_rest, amax, neval) = out
+        st = st._replace(amax=amax, neval=neval)
+        return st, (ii, jj, kk, qq), pivot, acol, arow
+
+    def _hunt_piv0(st, p, ltab, rtab, seed, pivot0):
+        """piv = 0: evaluate the seed's full column and row once
+        (dmrgg.f90:492-513)."""
+        ii, jj, kk, qq = seed
+        acol, amax, neval = _eval_col_fiber(st._replace(), p, ltab, rtab, kk, qq)
+        st = st._replace(amax=amax, neval=neval)
+        arow, amax, neval = _eval_row_fiber(st, p, ltab, rtab, ii, jj)
+        st = st._replace(amax=amax, neval=neval)
+        return st, seed, pivot0, acol, arow
+
+    def _hunt_full(st: CrossState, p, ltab, rtab):
+        """piv = -1: full superblock residual pivoting (dmrgg.f90:341-408)."""
+        dt = st.cores.dtype
+        # enumerate (i, j, k, q) over (R, N, N, R) in row-major layout
+        gr = jnp.arange(R * N * N * R)
+        qg = gr % R
+        kg = (gr // R) % N
+        jg = (gr // (R * N)) % N
+        ig = gr // (R * N * N)
+        ind = assemble_indices(ltab, rtab, p, ig, jg, kg, qg, d)
+        vals = fun(ind).reshape(R, N, N, R)
+        mask = ((iR[:, None, None, None] < st.rk[p]) & (iN[None, :, None, None] < n_arr[p])
+                & (iN[None, None, :, None] < n_arr[p + 1]) & (iR[None, None, None, :] < st.rk[p + 2]))
+        vals = jnp.where(mask, vals, 0.0)
+        amax = jnp.maximum(st.amax, jnp.max(jnp.abs(vals)))
+        neval = st.neval + (st.rk[p] * n_arr[p] * n_arr[p + 1] * st.rk[p + 2]).astype(jnp.int64)
+        st = st._replace(amax=amax, neval=neval)
+
+        rmask = (iR < st.rk[p + 1]).astype(dt)
+        approx = jnp.einsum("ijr,rkq->ijkq", _at(st.colf, p) * rmask[None, None, :], _at(st.rowf, p + 1))
+        resid = jnp.where(mask, vals - approx, 0.0)
+        flat = jnp.argmax(jnp.abs(resid).reshape(-1))
+        qq = flat % R
+        kk = (flat // R) % N
+        jj = (flat // (R * N)) % N
+        ii = flat // (R * N * N)
+        pivot = resid[ii, jj, kk, qq]
+        acol = vals[:, :, kk, qq]
+        arow = vals[ii, jj, :, :]
+        return st, (ii, jj, kk, qq), pivot, acol, arow
+
+    def _accept(st: CrossState, p, piv_idx, pivot, acol, arow) -> CrossState:
+        """Append the accepted pivot: extend vip / LU / cores / factors
+        (dmrgg.f90:602-757)."""
+        ii, jj, kk, qq = piv_idx
+        dt = st.cores.dtype
+        p = jnp.asarray(p, jnp.int32)
+        z = jnp.int32(0)
+        s = st.rk[p + 1].astype(jnp.int32)
+        rmask = (iR < s).astype(dt)
+
+        vip = jax.lax.dynamic_update_slice(
+            st.vip, jnp.stack([ii, jj, kk, qq]).astype(jnp.int32)[None, None, :], (p, s, z))
+
+        c_new = _at(st.colf, p)[ii, jj, :] * rmask
+        u_new = _at(st.rowf, p + 1)[:, kk, qq] * rmask
+        lu_c = jax.lax.dynamic_update_slice(st.lu_c, c_new[None, None, :], (p, s, z))
+        lu_u = jax.lax.dynamic_update_slice(st.lu_u, u_new[None, None, :], (p, s, z))
+        lu_d = jax.lax.dynamic_update_slice(st.lu_d, pivot[None, None], (p, s))
+
+        # raw fibers into cores (dmrgg.f90:662-685)
+        cores_p = jax.lax.dynamic_update_slice(_at(st.cores, p), acol[:, :, None], (z, z, s))
+        cores_p1 = jax.lax.dynamic_update_slice(_at(st.cores, p + 1), arow[None, :, :], (s, z, z))
+        cores = jax.lax.dynamic_update_slice(st.cores, cores_p[None], (p, z, z, z))
+        cores = jax.lax.dynamic_update_slice(cores, cores_p1[None], (p + 1, z, z, z))
+
+        # incremental factor updates (dmrgg.f90:687-713)
+        new_colf = lulib.apply_new_col(_at(st.colf, p), u_new, pivot, acol, s)
+        colf_p = jax.lax.dynamic_update_slice(_at(st.colf, p), new_colf[:, :, None], (z, z, s))
+        colf = jax.lax.dynamic_update_slice(st.colf, colf_p[None], (p, z, z, z))
+        new_rowf = lulib.apply_new_row(_at(st.rowf, p + 1), c_new, arow, s)
+        rowf_p1 = jax.lax.dynamic_update_slice(_at(st.rowf, p + 1), new_rowf[None, :, :], (s, z, z))
+        rowf = jax.lax.dynamic_update_slice(st.rowf, rowf_p1[None], (p + 1, z, z, z))
+
+        # left rows: row factor of bond p-1 on core p gains the new column
+        # with the bond p-1 L-solve applied (dmrgg.f90:715-728)
+        def left_rows(rowf):
+            lu_prev = _lu_at(st, jnp.maximum(p - 1, 0))
+            slice_ = lulib.solve_rows(lu_prev, st.rk[p], acol)   # (R, N)
+            rowf_p = jax.lax.dynamic_update_slice(_at(rowf, p), slice_[:, :, None], (z, z, s))
+            return jax.lax.dynamic_update_slice(rowf, rowf_p[None], (p, z, z, z))
+
+        rowf = jax.lax.cond(p > 0, left_rows, lambda r: r, rowf)
+
+        # right cols: col factor of bond p+1 on core p+1 gains the new row
+        # with the bond p+1 T-solve applied (dmrgg.f90:730-749)
+        def right_cols(colf):
+            lu_next = _lu_at(st, jnp.minimum(p + 1, d - 2))
+            slice_ = lulib.solve_cols(lu_next, st.rk[p + 2], arow)  # (N, R)
+            colf_p1 = jax.lax.dynamic_update_slice(_at(colf, p + 1), slice_[None, :, :], (s, z, z))
+            return jax.lax.dynamic_update_slice(colf, colf_p1[None], (p + 1, z, z, z))
+
+        colf = jax.lax.cond(p < d - 2, right_cols, lambda c: c, colf)
+
+        apiv = jnp.abs(pivot)
+        pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
+        pivotmin = jnp.where(st.pivotmin < 0, apiv, jnp.minimum(st.pivotmin, apiv))
+        rk = st.rk.at[p + 1].add(1)
+        return st._replace(cores=cores, colf=colf, rowf=rowf, rk=rk, vip=vip,
+                           lu_c=lu_c, lu_u=lu_u, lu_d=lu_d,
+                           pivotmax=pivotmax, pivotmin=pivotmin)
+
+    def visit_bond(st: CrossState, p, dir_fwd) -> CrossState:
+        ltab = left_table(st.vip, p, d)
+        rtab = right_table(st.vip, p, d)
+        if cfg.piv == -1:
+            st, piv_idx, pivot, acol, arow = _hunt_full(st, p, ltab, rtab)
+        else:
+            st, seed, pivot0 = _hunt_lottery(st, p, ltab, rtab)
+            if cfg.piv == 0:
+                st, piv_idx, pivot, acol, arow = _hunt_piv0(st, p, ltab, rtab, seed, pivot0)
+            else:
+                st, piv_idx, pivot, acol, arow = _rook(st, p, ltab, rtab, seed, pivot0, dir_fwd)
+
+        upd = ((jnp.abs(pivot) > cfg.small_element * st.amax)
+               & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
+               & (st.rk[p + 1] < R))
+        return jax.lax.cond(upd, lambda s: _accept(s, p, piv_idx, pivot, acol, arow),
+                            lambda s: s, st)
+
+    def sweep_fn_inner(st: CrossState, it) -> CrossState:
+        """One full sweep over all bonds (dmrgg.f90:314-760);
+        '>>' on odd iterations (dmrgg.f90:316)."""
+        dir_fwd = (it % 2) == 1
+        st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
+                         pivotmin=jnp.full((), -1.0, st.amax.dtype))
+
+        def body(idx, s):
+            p = jnp.where(dir_fwd, idx, d - 2 - idx)
+            return visit_bond(s, p, dir_fwd)
+
+        st = jax.lax.fori_loop(0, d - 1, body, st)
+        return st._replace(pivotmax_prev=st.pivotmax)
+
+    sweep_fn = jax.jit(sweep_fn_inner)
+
+    @jax.jit
+    def value_fn(st: CrossState, w) -> jax.Array:
+        """Contract the current cross against per-mode weights w (d, N),
+        applying the growing-LU inverses (ttqq + dtt_lua + dtt_quad,
+        dmrgg.f90:975-1006)."""
+        def mat(c):
+            curr = jnp.einsum("inj,n->ij", _at(st.cores, c), _at(w, c))  # (R, R)
+            solved_r = lulib.solve_rows(_lu_at(st, jnp.maximum(c - 1, 0)), st.rk[c], curr)
+            curr = jnp.where(c > 0, solved_r, curr)
+            solved_c = lulib.solve_cols(_lu_at(st, jnp.minimum(c, d - 2)), st.rk[c + 1], curr)
+            return jnp.where(c < d - 1, solved_c, curr)
+
+        def body(c, v):
+            return v @ mat(c)
+
+        v0 = jnp.zeros((1, R), st.cores.dtype).at[0, 0].set(1.0)
+        v = jax.lax.fori_loop(0, d, body, v0)
+        return v[0, 0]
+
+    # ------------------------------------------------------------ fused run
+    _run_cache: dict = {}
+
+    def make_run_fn(max_sweeps: int, with_quad: bool, accuracy: float | None):
+        ck = (max_sweeps, with_quad, accuracy)
+        if ck in _run_cache:
+            return _run_cache[ck]
+        _run_cache[ck] = _make_run_fn(max_sweeps, with_quad, accuracy)
+        return _run_cache[ck]
+
+    def _make_run_fn(max_sweeps: int, with_quad: bool, accuracy: float | None):
+        """Whole-cross driver fused into ONE device call: sweeps, per-sweep
+        quadrature values, and the strike-based stopping rule
+        (dmrgg.f90:1010-1019) all run inside a lax.while_loop, eliminating
+        per-sweep host round-trips (the tpu-first replacement for the
+        reference's per-iteration rank-0 reporting)."""
+
+        @jax.jit
+        def run_fn(st: CrossState, w):
+            dt = st.amax.dtype
+            vals0 = jnp.zeros((max_sweeps + 1,), dt)
+            pmax0 = jnp.zeros((max_sweeps + 1,), dt)
+            nev0 = jnp.zeros((max_sweeps + 1,), jnp.int64)
+            if with_quad:
+                vals0 = vals0.at[0].set(value_fn(st, w))
+
+            def cond(carry):
+                st, it, strike, vals, pmax, nev, done = carry
+                return ~done
+
+            def body(carry):
+                st, it, strike, vals, pmax, nev, done = carry
+                st = sweep_fn_inner(st, it)
+                if with_quad:
+                    vals = vals.at[it].set(value_fn(st, w))
+                pmax = pmax.at[it].set(st.pivotmax)
+                nev = nev.at[it].set(st.neval)
+                ready = it + 1 >= max_sweeps + 1
+                if accuracy is not None:
+                    quiet = st.pivotmax <= accuracy * st.amax
+                    strike = jnp.where(quiet, strike + 1, 0)
+                    ready = ready | (strike >= 3)
+                return (st, it + 1, strike, vals, pmax, nev, ready)
+
+            init = (st, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+                    vals0, pmax0, nev0, jnp.asarray(max_sweeps < 1))
+            st, it, strike, vals, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
+            return st, it - 1, vals, pmax, nev
+
+        return run_fn
+
+    return init_fn, sweep_fn, value_fn, make_run_fn
+
+
+def finalize(st: CrossState, cfg: CrossConfig) -> TT:
+    """Apply the LU inverses to the raw cores and trim the padding into a
+    proper TT (dtt_lua, dmrgg.f90:1169-1258, single-process path)."""
+    d = cfg.d
+    rk = np.asarray(st.rk)
+    cores = []
+    for c in range(d):
+        g = st.cores[c]
+        if c > 0:
+            lu = lulib.GrowingLU(st.lu_c[c - 1], st.lu_u[c - 1], st.lu_d[c - 1])
+            g = lulib.solve_rows(lu, int(rk[c]), g)
+        if c < d - 1:
+            lu = lulib.GrowingLU(st.lu_c[c], st.lu_u[c], st.lu_d[c])
+            g = lulib.solve_cols(lu, int(rk[c + 1]), g)
+        cores.append(g[: rk[c], : cfg.n[c], : rk[c + 1]])
+    return TT(tuple(cores))
+
+
+def cross(
+    fun: Callable,
+    n: Sequence[int],
+    max_rank: int = 20,
+    accuracy: float | None = None,
+    pivoting: int = 1,
+    quad: Sequence | None = None,
+    truth: float | None = None,
+    key: int | jax.Array = 0,
+    dtype=jnp.float64,
+    verbose: bool = False,
+) -> CrossResult:
+    """Approximate the black-box tensor fun in TT format by DMRG-greedy
+    cross interpolation (public API mirroring dtt_dmrgg's contract,
+    dmrgg.f90:11-26).
+
+    fun: batched integrand, ind (B, d) int32 -> (B,) values.
+    n: per-mode sizes.  max_rank: padded/maximum TT rank.  accuracy: stop
+    when max accepted pivot <= accuracy * amax for 3 consecutive sweeps.
+    pivoting: -1 full / 0 lottery / k>=1 rook with up to 2k passes.
+    quad: optional per-mode weight vectors -> per-sweep value + convergence.
+    """
+    n = tuple(int(x) for x in n)
+    d = len(n)
+    if d < 2:
+        raise ValueError("cross requires d >= 2")
+    if max_rank < 2:
+        raise ValueError("max_rank must be >= 2")
+    se, sp = precision_thresholds(dtype)
+    cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
+                      small_element=se, small_pivot=sp)
+    init_fn, sweep_fn, value_fn, make_run_fn = get_engine(fun, cfg)
+
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    t0 = time.perf_counter()
+    st = init_fn(key)
+
+    with_quad = quad is not None
+    if with_quad:
+        w = np.zeros((d, cfg.N))
+        for c in range(d):
+            w[c, : n[c]] = np.asarray(quad[c])
+        w = jnp.asarray(w)
+    else:
+        w = jnp.zeros((d, cfg.N))
+
+    max_sweeps = max_rank - 1
+    run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
+    st, last_it, vals, pmax, nev = run_fn(st, w)
+    last_it = int(last_it)
+    vals = np.asarray(vals)
+    pmax = np.asarray(pmax)
+    nev = np.asarray(nev)
+
+    values, errors = [], []
+    if with_quad:
+        values = list(vals[: last_it + 1])
+        for i in range(1, last_it + 1):
+            if truth is not None:
+                errors.append(abs(1.0 - vals[i] / truth))
+            else:
+                prev = vals[i - 1]
+                errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    converged = accuracy is not None and last_it < max_sweeps
+
+    if verbose:
+        for i in range(1, last_it + 1):
+            line = (f"{i:3d}{'>>' if i % 2 == 1 else '<<'} "
+                    f"n_evals: {int(nev[i]):10d} pivotmax {pmax[i]:9.3e}")
+            if with_quad:
+                tag = "err" if truth is not None else "cnv"
+                line += f" {tag} {errors[i-1]:9.3e} val {vals[i]:.14e}"
+            print(line)
+
+    tt = finalize(st, cfg)
+    return CrossResult(
+        tt=tt, neval=int(st.neval), sweeps=last_it,
+        ranks=tuple(int(x) for x in np.asarray(st.rk)),
+        values=values, errors=errors,
+        time=time.perf_counter() - t0, converged=converged,
+    )

@@ -1,0 +1,56 @@
+"""Cross-engine state: statically padded, jit-carried.
+
+The reference grows every per-bond array with deallocate/reallocate as ranks
+increase (dmrgg.f90:602-757).  On TPU, shapes must be static under jit, so
+the engine allocates everything at the padded rank R = maxrank once and
+carries an active-rank vector; all updates are masked writes.  This is the
+central TPU-first design decision (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CrossState(NamedTuple):
+    """Padded DMRG-greedy cross state.
+
+    d cores, padded mode size N, padded rank R.  Bond b (0..d-2) sits
+    between cores b and b+1; rk[b+1] is its active rank (rk[0]=rk[d]=1).
+    """
+
+    cores: jax.Array   # (d, R, N, R) raw sampled fibers (the reference's arg)
+    colf: jax.Array    # (d, R, N, R) col factors C Ahat^-1; slot c = bond c
+    rowf: jax.Array    # (d, R, N, R) row factors; slot c = bond c-1
+    rk: jax.Array      # (d+1,) int32 active bond ranks
+    vip: jax.Array     # (d-1, R, 4) int32 pivot chains (i, j, k, q)
+    lu_c: jax.Array    # (d-1, R, R) growing-LU col borders
+    lu_u: jax.Array    # (d-1, R, R) growing-LU row borders
+    lu_d: jax.Array    # (d-1, R)    growing-LU pivots
+    amax: jax.Array    # () max |sample| seen
+    pivotmax: jax.Array       # () max accepted |pivot| this sweep (-1 = none)
+    pivotmin: jax.Array       # () min accepted |pivot| this sweep (-1 = none)
+    pivotmax_prev: jax.Array  # () previous sweep's pivotmax
+    neval: jax.Array   # () int64 count of (active) integrand evaluations
+    key: jax.Array     # PRNG key
+
+
+def empty_state(d: int, N: int, R: int, key, dtype=jnp.float64) -> CrossState:
+    z4 = jnp.zeros((d, R, N, R), dtype)
+    return CrossState(
+        cores=z4, colf=z4, rowf=z4,
+        rk=jnp.ones((d + 1,), jnp.int32),
+        vip=jnp.zeros((d - 1, R, 4), jnp.int32),
+        lu_c=jnp.zeros((d - 1, R, R), dtype),
+        lu_u=jnp.zeros((d - 1, R, R), dtype),
+        lu_d=jnp.ones((d - 1, R), dtype),
+        amax=jnp.zeros((), dtype),
+        pivotmax=jnp.full((), -1.0, dtype),
+        pivotmin=jnp.full((), -1.0, dtype),
+        pivotmax_prev=jnp.zeros((), dtype),
+        neval=jnp.zeros((), jnp.int64),
+        key=key,
+    )
