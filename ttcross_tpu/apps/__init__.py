@@ -2,6 +2,7 @@ from .ising import IsingProblem, ising_integrand, make_ising
 from .mvn import MvnDensity, MvnProblem, make_mvn, make_mvn_density
 from .stdnorm import StdnormProblem, make_stdnorm
 from .cos import CosCoefficients, cos_approximate, gaussian_chf, make_cos_coefficients, s_vectors
+from .chf import basket_chf, basket_pdf
 from .truths import CHF_REFERENCE, ising_truth
 
 __all__ = [

@@ -1,0 +1,56 @@
+"""Characteristic function and density of the lognormal basket sum.
+
+Maps the complex contraction pipelines of test_crs_chf.f90:153-168 and
+test_crs_pdf.f90:136-209: after crossing the MVN pdf once, evaluate the
+basket-sum characteristic function
+
+  phi_k = ztt_quad(tt, qq_k),   qq_k[p](x) = w(x) * exp(i omega_k e^x / d),
+  omega_k = k pi / (upper - lower)
+
+through the complex weight tensors (the reference's dtt -> ztt promotion +
+ztt_quad, dmrgg.f90:1418-1523), then reconstruct the density by the COS
+method (cos_approx.f90).  Here a TT is dtype-polymorphic, so "promotion" is
+just contracting with complex weights; all 32 contractions are batched into
+one einsum chain over the k axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..tt import TT
+from .cos import cos_approximate
+
+__all__ = ["basket_chf", "basket_pdf"]
+
+
+def basket_chf(t: TT, nodes, weights, n_terms: int = 32,
+               lower: float = 0.0, upper: float = 300.0) -> jnp.ndarray:
+    """phi_0..phi_{K-1} of the basket sum (1/d) sum_p e^{X_p} under the
+    crossed density TT (test_crs_chf.f90:153-168).
+
+    All K contractions run as ONE batched chain: the per-mode weight matrix
+    W (K, n) replaces the reference's K sequential ztt_quad collectives."""
+    d = t.d
+    nodes = np.asarray(nodes)
+    weights = np.asarray(weights)
+    k = np.arange(n_terms)
+    omega = k * np.pi / (upper - lower)                      # (K,)
+    wmat = weights[None, :] * np.exp(1j * omega[:, None] * np.exp(nodes)[None, :] / d)
+
+    wj = jnp.asarray(wmat)                                    # (K, n)
+    v = jnp.ones((n_terms, 1, 1), dtype=jnp.complex128)
+    for c in range(d):
+        g = t.cores[c].astype(jnp.complex128)
+        m = jnp.einsum("inj,kn->kij", g, wj)                 # (K, r, r')
+        v = jnp.einsum("kxi,kij->kxj", v, m)
+    return v[:, 0, 0]
+
+
+def basket_pdf(t: TT, nodes, weights, xs, n_terms: int = 32,
+               lower: float = 0.0, upper: float = 300.0) -> jnp.ndarray:
+    """Density of the basket sum on points xs via CHF + COS reconstruction
+    (test_crs_pdf.f90 pipeline)."""
+    phis = basket_chf(t, nodes, weights, n_terms, lower, upper)
+    return cos_approximate(xs, phis, lower, upper, n_terms)

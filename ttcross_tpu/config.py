@@ -18,9 +18,13 @@ if not os.environ.get("TTCROSS_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: compiles on the TPU toolchain are slow
-# (tens of seconds); cache them across processes.
+# (tens of seconds); cache them across processes.  TPU backend only — CPU
+# executables AOT-cached by a remote compile service may target different
+# host CPU features (SIGILL risk on load).
 _cache_dir = os.environ.get("TTCROSS_COMPILE_CACHE",
                             os.path.expanduser("~/.cache/ttcross_tpu_xla"))
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    _cache_dir = None
 if _cache_dir:
     try:
         os.makedirs(_cache_dir, exist_ok=True)

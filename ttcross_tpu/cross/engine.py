@@ -24,7 +24,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,22 @@ class CrossConfig:
     small_element: float
     small_pivot: float
     snum: int = 8        # shifted diagonals in the initial search (smin, dmrgg.f90:29)
+
+
+class EngineKit(NamedTuple):
+    """Compiled engine phases plus the reusable per-bond kernels the
+    distributed engine (parallel/engine.py) builds on."""
+
+    cfg: "CrossConfig"
+    init_fn: Callable
+    sweep_fn: Callable
+    value_fn: Callable
+    make_run_fn: Callable
+    visit_bond: Callable
+    value_mat: Callable
+    eval_col_fiber: Callable
+    eval_row_fiber: Callable
+    init_neval: int
 
 
 @dataclass
@@ -344,9 +360,13 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         arow = vals[ii, jj, :, :]
         return st, (ii, jj, kk, qq), pivot, acol, arow
 
-    def _accept(st: CrossState, p, piv_idx, pivot, acol, arow) -> CrossState:
+    def _accept(st: CrossState, p, piv_idx, pivot, acol, arow, own_lo, own_hi) -> CrossState:
         """Append the accepted pivot: extend vip / LU / cores / factors
-        (dmrgg.f90:602-757)."""
+        (dmrgg.f90:602-757).  own_lo/own_hi bound the locally-owned bond slab
+        (whole train on a single device): cross-slab factor slices are
+        skipped here and handled by the boundary fixup, mirroring the
+        reference's `p > own(me)` / `p < own(me+1)-1` guards
+        (dmrgg.f90:715, 730)."""
         ii, jj, kk, qq = piv_idx
         dt = st.cores.dtype
         p = jnp.asarray(p, jnp.int32)
@@ -385,7 +405,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             rowf_p = jax.lax.dynamic_update_slice(_at(rowf, p), slice_[:, :, None], (z, z, s))
             return jax.lax.dynamic_update_slice(rowf, rowf_p[None], (p, z, z, z))
 
-        rowf = jax.lax.cond(p > 0, left_rows, lambda r: r, rowf)
+        rowf = jax.lax.cond(p > own_lo, left_rows, lambda r: r, rowf)
 
         # right cols: col factor of bond p+1 on core p+1 gains the new row
         # with the bond p+1 T-solve applied (dmrgg.f90:730-749)
@@ -395,7 +415,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             colf_p1 = jax.lax.dynamic_update_slice(_at(colf, p + 1), slice_[None, :, :], (s, z, z))
             return jax.lax.dynamic_update_slice(colf, colf_p1[None], (p + 1, z, z, z))
 
-        colf = jax.lax.cond(p < d - 2, right_cols, lambda c: c, colf)
+        colf = jax.lax.cond(p < own_hi - 1, right_cols, lambda c: c, colf)
 
         apiv = jnp.abs(pivot)
         pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
@@ -405,7 +425,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                            lu_c=lu_c, lu_u=lu_u, lu_d=lu_d,
                            pivotmax=pivotmax, pivotmin=pivotmin)
 
-    def visit_bond(st: CrossState, p, dir_fwd) -> CrossState:
+    def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1):
+        """Hunt + (maybe) accept at bond p.  Returns (state, tape_i, tape_f):
+        tape_i (5,) int32 = (accepted, ii, jj, kk, qq); tape_f (2R+1,) =
+        (c border, u border, pivot) — the per-sweep record the distributed
+        engine exchanges (the reference's 4-int tape, dmrgg.f90:598-604,
+        extended with the LU row so replicas replay the LU too)."""
         ltab = left_table(st.vip, p, d)
         rtab = right_table(st.vip, p, d)
         if cfg.piv == -1:
@@ -420,8 +445,16 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         upd = ((jnp.abs(pivot) > cfg.small_element * st.amax)
                & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
                & (st.rk[p + 1] < R))
-        return jax.lax.cond(upd, lambda s: _accept(s, p, piv_idx, pivot, acol, arow),
-                            lambda s: s, st)
+        ii, jj, kk, qq = piv_idx
+        rmask = (iR < st.rk[p + 1]).astype(st.cores.dtype)
+        c_new = _at(st.colf, p)[ii, jj, :] * rmask
+        u_new = _at(st.rowf, p + 1)[:, kk, qq] * rmask
+        tape_i = jnp.where(upd, jnp.stack([1, ii, jj, kk, qq]).astype(jnp.int32), 0)
+        tape_f = jnp.where(upd, jnp.concatenate([c_new, u_new, pivot[None]]), 0.0)
+        st = jax.lax.cond(
+            upd, lambda s: _accept(s, p, piv_idx, pivot, acol, arow, own_lo, own_hi),
+            lambda s: s, st)
+        return st, tape_i, tape_f
 
     def sweep_fn_inner(st: CrossState, it) -> CrossState:
         """One full sweep over all bonds (dmrgg.f90:314-760);
@@ -432,27 +465,29 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
         def body(idx, s):
             p = jnp.where(dir_fwd, idx, d - 2 - idx)
-            return visit_bond(s, p, dir_fwd)
+            return visit_bond(s, p, dir_fwd)[0]
 
         st = jax.lax.fori_loop(0, d - 1, body, st)
         return st._replace(pivotmax_prev=st.pivotmax)
 
     sweep_fn = jax.jit(sweep_fn_inner)
 
+    def value_mat(st: CrossState, w, c) -> jax.Array:
+        """LU-solved (R, R) contraction matrix of core c against weights
+        w[c] (the ttqq core + dtt_lua application, dmrgg.f90:986-992)."""
+        curr = jnp.einsum("inj,n->ij", _at(st.cores, c), _at(w, c))  # (R, R)
+        solved_r = lulib.solve_rows(_lu_at(st, jnp.maximum(c - 1, 0)), st.rk[c], curr)
+        curr = jnp.where(c > 0, solved_r, curr)
+        solved_c = lulib.solve_cols(_lu_at(st, jnp.minimum(c, d - 2)), st.rk[c + 1], curr)
+        return jnp.where(c < d - 1, solved_c, curr)
+
     @jax.jit
     def value_fn(st: CrossState, w) -> jax.Array:
         """Contract the current cross against per-mode weights w (d, N),
         applying the growing-LU inverses (ttqq + dtt_lua + dtt_quad,
         dmrgg.f90:975-1006)."""
-        def mat(c):
-            curr = jnp.einsum("inj,n->ij", _at(st.cores, c), _at(w, c))  # (R, R)
-            solved_r = lulib.solve_rows(_lu_at(st, jnp.maximum(c - 1, 0)), st.rk[c], curr)
-            curr = jnp.where(c > 0, solved_r, curr)
-            solved_c = lulib.solve_cols(_lu_at(st, jnp.minimum(c, d - 2)), st.rk[c + 1], curr)
-            return jnp.where(c < d - 1, solved_c, curr)
-
         def body(c, v):
-            return v @ mat(c)
+            return v @ value_mat(st, w, c)
 
         v0 = jnp.zeros((1, R), st.cores.dtype).at[0, 0].set(1.0)
         v = jax.lax.fori_loop(0, d, body, v0)
@@ -509,7 +544,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
         return run_fn
 
-    return init_fn, sweep_fn, value_fn, make_run_fn
+    return EngineKit(
+        cfg=cfg, init_fn=init_fn, sweep_fn=sweep_fn, value_fn=value_fn,
+        make_run_fn=make_run_fn, visit_bond=visit_bond, value_mat=value_mat,
+        eval_col_fiber=_eval_col_fiber, eval_row_fiber=_eval_row_fiber,
+        init_neval=cfg.snum * int(min(cfg.n)) + int(sum(cfg.n)),
+    )
 
 
 def finalize(st: CrossState, cfg: CrossConfig) -> TT:
@@ -561,7 +601,8 @@ def cross(
     se, sp = precision_thresholds(dtype)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp)
-    init_fn, sweep_fn, value_fn, make_run_fn = get_engine(fun, cfg)
+    kit = get_engine(fun, cfg)
+    init_fn, value_fn, make_run_fn = kit.init_fn, kit.value_fn, kit.make_run_fn
 
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)

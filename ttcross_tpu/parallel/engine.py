@@ -1,0 +1,361 @@
+"""Distributed DMRG-greedy cross over a 1-D 'bond' device mesh.
+
+TPU-native re-architecture of the reference's MPI dimension-parallel runtime
+(dmrgg.f90:120-131, 763-958; SURVEY.md §2.5).  Each device owns a contiguous
+bond slab and runs the same local sweep as the single-chip engine; global
+consistency is restored once per iteration with XLA collectives instead of
+MPI point-to-point:
+
+  reference (MPI)                           here (shard_map collectives)
+  ------------------------------------      ---------------------------------
+  4-int pivot tape, 1-hop sendrecv          psum of disjoint per-bond tape
+    (multi-hop staleness, dmrgg.f90:768)      rows -> ZERO staleness, and the
+                                              tape carries the LU border row
+                                              so every device replays vip +
+                                              rk + growing-LU exactly
+  boundary core-slice ship left only        each device re-evaluates the two
+    (+ corner eval, dmrgg.f90:872-958;        boundary fibers it needs; this
+    the double engine never backfills         also backfills the col factor
+    the right side)                           the reference leaves stale
+  3-scalar MPI_ALLREDUCE(MAX)               lax.pmax / pmin
+  binary-tree pairwise dgemm reduce         per-device chain-product of LU-
+    (dtt_quad, dmrgg.f90:1356-1405)           solved (R, R) mats, all_gather,
+                                              ordered product (replicated)
+  inv sendrecv in dtt_lua                   not needed: LU is replicated via
+    (dmrgg.f90:1209-1246)                     the extended tape
+
+State is carried with a leading device axis sharded over the mesh; cores and
+factors are owner-authoritative (like the reference), while vip / ranks / LU
+are kept exactly consistent on every device.  The whole multi-sweep run,
+including the stopping rule, is ONE shard_map'd device call.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import precision_thresholds
+from ..ops import lu as lulib
+from ..cross.chains import left_table, right_table
+from ..cross.engine import CrossConfig, CrossResult, EngineKit, finalize, get_engine
+from ..cross.state import CrossState
+from .mesh import BOND_AXIS, bond_mesh, share
+
+__all__ = ["cross_parallel", "make_parallel_engine"]
+
+_PAR_CACHE: dict = {}
+_PAR_PINS: list = []
+
+
+def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
+    return lulib.GrowingLU(
+        c=jax.lax.dynamic_index_in_dim(st.lu_c, b, 0, keepdims=False),
+        u=jax.lax.dynamic_index_in_dim(st.lu_u, b, 0, keepdims=False),
+        d=jax.lax.dynamic_index_in_dim(st.lu_d, b, 0, keepdims=False),
+    )
+
+
+def _at(arr, c):
+    return jax.lax.dynamic_index_in_dim(arr, c, 0, keepdims=False)
+
+
+def get_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
+    target = getattr(fun, "__self__", fun)
+    key = (id(target), getattr(fun, "__name__", None), cfg, id(mesh))
+    eng = _PAR_CACHE.get(key)
+    if eng is None:
+        _PAR_PINS.append((target, mesh))
+        eng = _PAR_CACHE[key] = make_parallel_engine(fun, cfg, mesh)
+    return eng
+
+
+def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
+    """Build the distributed runner.  Returns (init_fn, make_run_fn,
+    gather_fn) where run/gather are shard_map'd over the mesh."""
+    kit: EngineKit = get_engine(fun, cfg)
+    d, N, R = cfg.d, cfg.N, cfg.R
+    ndev = mesh.devices.size
+    own = share(d - 1, ndev)                       # (ndev+1,)
+    own_lo_tbl = jnp.asarray(own[:-1], jnp.int32)  # per-device slab start
+    own_hi_tbl = jnp.asarray(own[1:], jnp.int32)   # one-past-last bond
+    max_cnt = int(np.max(own[1:] - own[:-1]))
+    max_cores = int(np.max((own[1:] - own[:-1]) + (np.arange(ndev) == ndev - 1)))
+    n_arr = jnp.asarray(cfg.n, jnp.int32)
+    iR = jnp.arange(R)
+
+    def my_bounds():
+        me = jax.lax.axis_index(BOND_AXIS)
+        return me, own_lo_tbl[me], own_hi_tbl[me]
+
+    # -------------------------------------------------------------- sweep
+    def local_sweep(st: CrossState, it, own_lo, own_hi):
+        """Sequential hunt over the owned slab, recording the tape."""
+        cnt = own_hi - own_lo
+        dir_fwd = (it % 2) == 1
+        st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
+                         pivotmin=jnp.full((), -1.0, st.amax.dtype))
+        tape_i = jnp.zeros((d - 1, 5), jnp.int32)
+        tape_f = jnp.zeros((d - 1, 2 * R + 1), st.amax.dtype)
+
+        def body(idx, carry):
+            st, ti, tf = carry
+            off = jnp.where(dir_fwd, idx, cnt - 1 - idx)
+            p = (own_lo + jnp.clip(off, 0, jnp.maximum(cnt - 1, 0))).astype(jnp.int32)
+            valid = idx < cnt
+
+            def do(args):
+                st, ti, tf = args
+                st2, row_i, row_f = kit.visit_bond(st, p, dir_fwd, own_lo, own_hi)
+                ti = jax.lax.dynamic_update_slice(ti, row_i[None], (p, jnp.int32(0)))
+                tf = jax.lax.dynamic_update_slice(tf, row_f[None], (p, jnp.int32(0)))
+                return st2, ti, tf
+
+            return jax.lax.cond(valid, do, lambda a: a, (st, ti, tf))
+
+        st, tape_i, tape_f = jax.lax.fori_loop(0, max_cnt, body, (st, tape_i, tape_f))
+        return st, tape_i, tape_f
+
+    def replay(st: CrossState, TI, TF, own_lo, own_hi):
+        """Apply every other device's accepted pivots to vip / rk / LU
+        (the tape replay of dmrgg.f90:822-850, extended to the LU so the
+        growing-LU is exactly replicated)."""
+
+        def body(b, st):
+            owned = (b >= own_lo) & (b < own_hi)
+            acc = TI[b, 0] > 0
+
+            def app(st):
+                bz = jnp.asarray(b, jnp.int32)
+                z = jnp.int32(0)
+                s = st.rk[b + 1].astype(jnp.int32)
+                vip = jax.lax.dynamic_update_slice(st.vip, TI[b, 1:5][None, None, :], (bz, s, z))
+                lu_c = jax.lax.dynamic_update_slice(st.lu_c, TF[b, :R][None, None, :], (bz, s, z))
+                lu_u = jax.lax.dynamic_update_slice(st.lu_u, TF[b, R:2 * R][None, None, :], (bz, s, z))
+                lu_d = jax.lax.dynamic_update_slice(st.lu_d, TF[b, 2 * R][None, None], (bz, s))
+                apiv = jnp.abs(TF[b, 2 * R])
+                pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
+                pivotmin = jnp.where(st.pivotmin < 0, apiv, jnp.minimum(st.pivotmin, apiv))
+                return st._replace(vip=vip, lu_c=lu_c, lu_u=lu_u, lu_d=lu_d,
+                                   rk=st.rk.at[b + 1].add(1),
+                                   pivotmax=pivotmax, pivotmin=pivotmin)
+
+            return jax.lax.cond(acc & ~owned, app, lambda s: s, st)
+
+        return jax.lax.fori_loop(0, d - 1, body, st)
+
+    def fixup(st: CrossState, TI, own_lo, own_hi):
+        """Boundary repairs after replay (replaces the reference's block
+        ship + corner evaluation, dmrgg.f90:872-958).
+
+        Right edge: the right neighbour's first bond (own_hi) accepted a new
+        column -> re-evaluate that raw fiber (it now includes the corner row
+        from our own last-bond accept) and extend our row factor of bond
+        own_hi-1 with the L-solved slice (dmrgg.f90:940-951).
+
+        Left edge: the left neighbour's last bond (own_lo-1) accepted a new
+        row -> re-evaluate the raw row fiber, store it into our
+        authoritative core own_lo, and backfill our col factor of bond
+        own_lo with the T-solved slice (the update the reference's double
+        engine skips across ranks)."""
+        z = jnp.int32(0)
+
+        bR = jnp.clip(own_hi, 0, d - 2).astype(jnp.int32)
+        do_r = (own_hi <= d - 2) & (TI[bR, 0] > 0)
+
+        def fix_right(st):
+            kk, qq = TI[bR, 3], TI[bR, 4]
+            ltab = left_table(st.vip, bR, d)
+            rtab = right_table(st.vip, bR, d)
+            fiber, amax, neval = kit.eval_col_fiber(st, bR, ltab, rtab, kk, qq)
+            st = st._replace(amax=amax, neval=neval)
+            slc = lulib.solve_rows(_lu_at(st, jnp.maximum(bR - 1, 0)), st.rk[bR], fiber)
+            s = (st.rk[bR + 1] - 1).astype(jnp.int32)
+            rowf_b = jax.lax.dynamic_update_slice(_at(st.rowf, bR), slc[:, :, None], (z, z, s))
+            rowf = jax.lax.dynamic_update_slice(st.rowf, rowf_b[None], (bR, z, z, z))
+            return st._replace(rowf=rowf)
+
+        st = jax.lax.cond(do_r, fix_right, lambda s: s, st)
+
+        bL = jnp.clip(own_lo - 1, 0, d - 2).astype(jnp.int32)
+        do_l = (own_lo >= 1) & (TI[bL, 0] > 0)
+
+        def fix_left(st):
+            ii, jj = TI[bL, 1], TI[bL, 2]
+            ltab = left_table(st.vip, bL, d)
+            rtab = right_table(st.vip, bL, d)
+            fiber, amax, neval = kit.eval_row_fiber(st, bL, ltab, rtab, ii, jj)  # (N, R)
+            st = st._replace(amax=amax, neval=neval)
+            c0 = (bL + 1).astype(jnp.int32)           # = own_lo
+            s = (st.rk[c0] - 1).astype(jnp.int32)
+            cores_c = jax.lax.dynamic_update_slice(_at(st.cores, c0), fiber[None], (s, z, z))
+            cores = jax.lax.dynamic_update_slice(st.cores, cores_c[None], (c0, z, z, z))
+            slc = lulib.solve_cols(_lu_at(st, c0), st.rk[c0 + 1], fiber)
+            colf_c = jax.lax.dynamic_update_slice(_at(st.colf, c0), slc[None], (s, z, z))
+            colf = jax.lax.dynamic_update_slice(st.colf, colf_c[None], (c0, z, z, z))
+            return st._replace(cores=cores, colf=colf)
+
+        return jax.lax.cond(do_l, fix_left, lambda s: s, st)
+
+    def psweep(st: CrossState, it, own_lo, own_hi):
+        st, tape_i, tape_f = local_sweep(st, it, own_lo, own_hi)
+        TI = jax.lax.psum(tape_i, BOND_AXIS)   # per-bond rows are disjoint
+        TF = jax.lax.psum(tape_f, BOND_AXIS)
+        st = replay(st, TI, TF, own_lo, own_hi)
+        st = fixup(st, TI, own_lo, own_hi)
+        amax = jax.lax.pmax(st.amax, BOND_AXIS)
+        pivotmax = jax.lax.pmax(st.pivotmax, BOND_AXIS)
+        pmin_in = jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin)
+        pivotmin = jax.lax.pmin(pmin_in, BOND_AXIS)
+        pivotmin = jnp.where(jnp.isinf(pivotmin), -1.0, pivotmin)
+        return st._replace(amax=amax, pivotmax=pivotmax, pivotmin=pivotmin,
+                           pivotmax_prev=pivotmax)
+
+    def pvalue(st: CrossState, w, own_lo, own_hi):
+        """Distributed quadrature value: per-device chain product over its
+        authoritative cores, then an ordered all-gathered product (replaces
+        the binary-tree pairwise GEMM reduce, dmrgg.f90:1356-1405)."""
+        me = jax.lax.axis_index(BOND_AXIS)
+        cnt = own_hi - own_lo + jnp.where(me == ndev - 1, 1, 0)
+        part = jnp.eye(R, dtype=st.amax.dtype)
+
+        def body(idx, part):
+            c = (own_lo + idx).astype(jnp.int32)
+            m = kit.value_mat(st, w, c)
+            return jnp.where(idx < cnt, part @ m, part)
+
+        part = jax.lax.fori_loop(0, max_cores, body, part)
+        parts = jax.lax.all_gather(part, BOND_AXIS)   # (ndev, R, R)
+
+        def chain(i, v):
+            return v @ parts[i]
+
+        v0 = jnp.zeros((1, R), st.amax.dtype).at[0, 0].set(1.0)
+        v = jax.lax.fori_loop(0, ndev, chain, v0)
+        return v[0, 0]
+
+    # ------------------------------------------------------------- runner
+    def make_run_fn(max_sweeps: int, with_quad: bool, accuracy: float | None):
+        def run_body(st: CrossState, w):
+            me = jax.lax.axis_index(BOND_AXIS)
+            own_lo, own_hi = own_lo_tbl[me], own_hi_tbl[me]
+            st = st._replace(key=jax.random.fold_in(st.key, me))
+            dt = st.amax.dtype
+            vals0 = jnp.zeros((max_sweeps + 1,), dt)
+            if with_quad:
+                vals0 = vals0.at[0].set(pvalue(st, w, own_lo, own_hi))
+
+            def cond(carry):
+                return ~carry[-1]
+
+            def body(carry):
+                st, it, strike, vals, done = carry
+                st = psweep(st, it, own_lo, own_hi)
+                if with_quad:
+                    vals = vals.at[it].set(pvalue(st, w, own_lo, own_hi))
+                ready = it + 1 >= max_sweeps + 1
+                if accuracy is not None:
+                    quiet = st.pivotmax <= accuracy * st.amax
+                    strike = jnp.where(quiet, strike + 1, 0)
+                    ready = ready | (strike >= 3)
+                return (st, it + 1, strike, vals, ready)
+
+            init = (st, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+                    vals0, jnp.asarray(max_sweeps < 1))
+            st, it, _, vals, _ = jax.lax.while_loop(cond, body, init)
+
+            # gather authoritative cores -> replicated complete state
+            c_idx = jnp.arange(d)
+            authority = (c_idx >= own_lo) & (c_idx < own_hi)
+            authority = authority | ((c_idx == d - 1) & (me == ndev - 1))
+            cores = jax.lax.psum(
+                jnp.where(authority[:, None, None, None], st.cores, 0.0), BOND_AXIS)
+            neval = jax.lax.psum(st.neval - kit.init_neval, BOND_AXIS) + kit.init_neval
+            st = st._replace(cores=cores, neval=neval)
+            return st, it - 1, vals
+
+        state_spec = CrossState(*([P()] * len(CrossState._fields)))
+        mapped = jax.shard_map(
+            run_body, mesh=mesh,
+            in_specs=(state_spec, P()),
+            out_specs=(state_spec, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    return kit, make_run_fn
+
+
+def cross_parallel(
+    fun: Callable,
+    n: Sequence[int],
+    max_rank: int = 20,
+    accuracy: float | None = None,
+    pivoting: int = 1,
+    quad: Sequence | None = None,
+    truth: float | None = None,
+    key: int | jax.Array = 0,
+    dtype=jnp.float64,
+    mesh: Mesh | None = None,
+    verbose: bool = False,
+) -> CrossResult:
+    """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
+    the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
+    cross(); requires len(mesh devices) <= d-1."""
+    n = tuple(int(x) for x in n)
+    d = len(n)
+    if mesh is None:
+        mesh = bond_mesh()
+    se, sp = precision_thresholds(dtype)
+    cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
+                      small_element=se, small_pivot=sp)
+    kit, make_run_fn = get_parallel_engine(fun, cfg, mesh)
+
+    if isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+    t0 = time.perf_counter()
+    st = kit.init_fn(key)   # deterministic -> identical on every device
+
+    with_quad = quad is not None
+    w = np.zeros((d, cfg.N))
+    if with_quad:
+        for c in range(d):
+            w[c, : n[c]] = np.asarray(quad[c])
+    w = jnp.asarray(w)
+
+    max_sweeps = max_rank - 1
+    run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
+    st, last_it, vals = run_fn(st, w)
+    last_it = int(last_it)
+    vals = np.asarray(vals)
+
+    values, errors = [], []
+    if with_quad:
+        values = list(vals[: last_it + 1])
+        for i in range(1, last_it + 1):
+            if truth is not None:
+                errors.append(abs(1.0 - vals[i] / truth))
+            else:
+                prev = vals[i - 1]
+                errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    if verbose:
+        for i in range(1, last_it + 1):
+            line = f"{i:3d}{'>>' if i % 2 == 1 else '<<'}"
+            if with_quad:
+                tag = "err" if truth is not None else "cnv"
+                line += f" {tag} {errors[i-1]:9.3e} val {vals[i]:.14e}"
+            print(line)
+
+    tt = finalize(st, cfg)
+    return CrossResult(
+        tt=tt, neval=int(st.neval), sweeps=last_it,
+        ranks=tuple(int(x) for x in np.asarray(st.rk)),
+        values=values, errors=errors,
+        time=time.perf_counter() - t0,
+        converged=accuracy is not None and last_it < max_sweeps,
+    )

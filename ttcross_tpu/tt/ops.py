@@ -88,13 +88,16 @@ def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     """Full contraction against per-mode weight vectors (local part of
     dtt_quad, dmrgg.f90:1323-1345).  weights=None sums all entries
     (sumall, tt.f90:770-814)."""
-    v = jnp.ones((1,), dtype=t.dtype)
+    dt = t.dtype
+    if weights is not None:
+        dt = jnp.result_type(dt, *[jnp.asarray(w).dtype for w in weights])
+    v = jnp.ones((1,), dtype=dt)
     for c in range(t.d):
-        g = t.cores[c]
+        g = t.cores[c].astype(dt)
         if weights is None:
             m = jnp.sum(g, axis=1)  # (r, r')
         else:
-            w = jnp.asarray(weights[c], dtype=t.dtype)
+            w = jnp.asarray(weights[c], dtype=dt)
             m = jnp.einsum("inj,n->ij", g, w)
         v = v @ m
     return v[0]
