@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Basket-sum characteristic function: `crs_chf.py D N RANK PIV`
+(test_crs_chf.f90 parity: cross the MVN pdf once, then 32 complex
+contractions with Fourier weights; compares against the reference's
+golden values — see tests/test_chf.py for the known offset in those)."""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+import ttcross_tpu  # noqa: F401
+from ttcross_tpu.apps import CHF_REFERENCE, make_mvn
+from ttcross_tpu.apps.chf import basket_chf
+from ttcross_tpu.cross import cross
+from ttcross_tpu.utils import print_config, readarg
+
+
+def main():
+    d = readarg(1, 6)
+    n = readarg(2, 65)
+    rank = readarg(3, 20)
+    piv = readarg(4, 1)
+
+    prob = make_mvn(d=d, n=n)
+    print_config(dimension=d, quadratur=prob.n, TT_ranks=rank, pivoting=piv)
+    acc = 500 * np.finfo(np.float64).eps
+    print("   Running TT-cross...")
+    res = cross(prob.fun, [prob.n] * d, max_rank=rank, accuracy=acc, pivoting=piv)
+    print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
+
+    print("   Preparing quadrature tensor...")
+    phis = np.asarray(basket_chf(res.tt, prob.nodes, prob.quad_weights, 32))
+    for k in range(32):
+        ref = CHF_REFERENCE[k]
+        print(f"computed value: {phis[k].real:.16e} {phis[k].imag:.16e}")
+        print(f"golden  value: {ref.real:.16e} {ref.imag:.16e}")
+        print(f"agreement digits: {-np.log10(abs(1 - phis[k] / ref)):7.2f}")
+    print("Good bye.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Product standard-normal integral: `crs_stdnorm.py D N RANK PIV`
+(test_crs_stdnorm.f90 parity; truth pi^(D/2))."""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+import ttcross_tpu  # noqa: F401
+from ttcross_tpu.apps import make_stdnorm
+from ttcross_tpu.cross import cross
+from ttcross_tpu.utils import print_config, readarg
+
+
+def main():
+    d = readarg(1, 6)
+    n = readarg(2, 65)
+    rank = readarg(3, 20)
+    piv = readarg(4, 1)
+
+    print("Hi, this is TT cross interpolation for computing integrals...")
+    prob = make_stdnorm(d=d, n=n)
+    print_config(dimension=d, quadratur=prob.n, TT_ranks=rank, pivoting=piv)
+    acc = 5 * np.finfo(np.float64).eps
+
+    res = cross(prob.fun, [prob.n] * d, max_rank=rank, accuracy=acc,
+                pivoting=piv, quad=[prob.quad_weights] * d,
+                truth=prob.truth, verbose=True)
+    print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
+    val = res.values[-1]
+    print(f"computed value: {val:.40e}")
+    print(f"analytic value: {prob.truth:.40e}")
+    print(f"correct digits: {-np.log10(abs(1 - val / prob.truth)):7.2f}")
+    print("Good bye.")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,21 +31,26 @@ def basket_chf(t: TT, nodes, weights, n_terms: int = 32,
     crossed density TT (test_crs_chf.f90:153-168).
 
     All K contractions run as ONE batched chain: the per-mode weight matrix
-    W (K, n) replaces the reference's K sequential ztt_quad collectives."""
+    W (K, n) replaces the reference's K sequential ztt_quad collectives.
+    Complex arithmetic is explicit real/imag pair math (TPU-safe)."""
     d = t.d
     nodes = np.asarray(nodes)
     weights = np.asarray(weights)
     k = np.arange(n_terms)
     omega = k * np.pi / (upper - lower)                      # (K,)
-    wmat = weights[None, :] * np.exp(1j * omega[:, None] * np.exp(nodes)[None, :] / d)
+    phase = omega[:, None] * np.exp(nodes)[None, :] / d      # (K, n)
+    wr = jnp.asarray(weights[None, :] * np.cos(phase))
+    wi = jnp.asarray(weights[None, :] * np.sin(phase))
 
-    wj = jnp.asarray(wmat)                                    # (K, n)
-    v = jnp.ones((n_terms, 1, 1), dtype=jnp.complex128)
+    vr = jnp.ones((n_terms, 1, 1), dtype=jnp.float64)
+    vi = jnp.zeros((n_terms, 1, 1), dtype=jnp.float64)
     for c in range(d):
-        g = t.cores[c].astype(jnp.complex128)
-        m = jnp.einsum("inj,kn->kij", g, wj)                 # (K, r, r')
-        v = jnp.einsum("kxi,kij->kxj", v, m)
-    return v[:, 0, 0]
+        g = t.cores[c]                                        # real cores
+        mr = jnp.einsum("inj,kn->kij", g, wr)                # (K, r, r')
+        mi = jnp.einsum("inj,kn->kij", g, wi)
+        vr, vi = (jnp.einsum("kxi,kij->kxj", vr, mr) - jnp.einsum("kxi,kij->kxj", vi, mi),
+                  jnp.einsum("kxi,kij->kxj", vr, mi) + jnp.einsum("kxi,kij->kxj", vi, mr))
+    return np.asarray(vr[:, 0, 0]) + 1j * np.asarray(vi[:, 0, 0])
 
 
 def basket_pdf(t: TT, nodes, weights, xs, n_terms: int = 32,

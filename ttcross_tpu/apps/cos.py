@@ -20,6 +20,7 @@ import numpy as np
 __all__ = [
     "s_vectors",
     "gaussian_chf",
+    "gaussian_chf_parts",
     "CosCoefficients",
     "make_cos_coefficients",
     "cos_approximate",
@@ -35,15 +36,25 @@ def s_vectors(d: int) -> np.ndarray:
     return s
 
 
-def gaussian_chf(omega, mu, sigma):
-    """phi(omega) = exp(i omega.mu - 1/2 omega^T Sigma omega), batched over
-    leading axes of omega (gaussian_chf_nd, funcs.f90:8-26)."""
+def gaussian_chf_parts(omega, mu, sigma):
+    """Real/imag parts of phi(omega) = exp(i omega.mu - omega^T Sigma omega/2)
+    as (magnitude * cos, magnitude * sin) — TPU-safe pair arithmetic
+    (complex128 is unsupported on TPU hardware)."""
     omega = jnp.asarray(omega)
     mu = jnp.asarray(mu)
     sigma = jnp.asarray(sigma)
     dot_mu = jnp.tensordot(omega, mu, axes=[[-1], [0]])
     quad = jnp.einsum("...i,ij,...j->...", omega, sigma, omega)
-    return jnp.exp(1j * dot_mu - 0.5 * quad)
+    mag = jnp.exp(-0.5 * quad)
+    return mag * jnp.cos(dot_mu), mag * jnp.sin(dot_mu)
+
+
+def gaussian_chf(omega, mu, sigma):
+    """phi(omega) = exp(i omega.mu - 1/2 omega^T Sigma omega), batched over
+    leading axes of omega (gaussian_chf_nd, funcs.f90:8-26).  Complex-dtype
+    convenience wrapper; device code should use gaussian_chf_parts."""
+    re, im = gaussian_chf_parts(omega, mu, sigma)
+    return re + 1j * im
 
 
 @dataclass(frozen=True)
@@ -62,14 +73,18 @@ class CosCoefficients:
 
         f(ind) = 2/(b-a)^d  sum_s  Re[ e^{-i a sum_j t_j} phi(t) ],
         with t_j = pi s_j (ind_j) / (b - a)  (0-based ind; the reference's
-        ind_j - 1 with 1-based indices, coefficients.f90:52-57)."""
+        ind_j - 1 with 1-based indices, coefficients.f90:52-57).
+
+        Computed in real pair arithmetic (TPU has no complex128):
+        Re[e^{i(t.mu - a sum t)}] e^{-q/2} = e^{-q/2} cos(t.mu - a sum t)."""
         ind = jnp.asarray(ind)
         sv = jnp.asarray(s_vectors(self.d), dtype=jnp.float64)  # (S, d)
         one_over = 1.0 / (self.upper - self.lower)
         t = (np.pi * one_over) * sv[None, :, :] * ind[:, None, :].astype(jnp.float64)
-        phi = gaussian_chf(t, self.mu, self.sigma)               # (B, S)
-        phase = jnp.exp(-1j * self.lower * jnp.sum(t, axis=-1))  # (B, S)
-        real_sum = jnp.sum(jnp.real(phase * phi), axis=-1)
+        dot_mu = jnp.tensordot(t, jnp.asarray(self.mu), axes=[[-1], [0]])   # (B, S)
+        quad = jnp.einsum("bsi,ij,bsj->bs", t, jnp.asarray(self.sigma), t)
+        phase = dot_mu - self.lower * jnp.sum(t, axis=-1)
+        real_sum = jnp.sum(jnp.exp(-0.5 * quad) * jnp.cos(phase), axis=-1)
         return 2.0 * one_over**self.d * real_sum
 
 
@@ -87,12 +102,14 @@ def cos_approximate(xs, phis, lower: float, upper: float, n_terms: int | None = 
       c_k = 2/(b-a) Re[phi_k e^{-i omega_k a}],  c_0 halved.
     """
     xs = jnp.atleast_1d(jnp.asarray(xs, dtype=jnp.float64))
-    phis = jnp.asarray(phis)
+    phis = np.asarray(phis)
     K = phis.shape[0] if n_terms is None else n_terms
     if K > phis.shape[0]:
         raise ValueError("n_terms exceeds the number of CHF values")
-    k = jnp.arange(K, dtype=jnp.float64)
+    k = np.arange(K, dtype=np.float64)
     omega = k * np.pi / (upper - lower)
-    coeff = 2.0 / (upper - lower) * jnp.real(phis[:K] * jnp.exp(-1j * omega * lower))
-    coeff = coeff.at[0].multiply(0.5)
-    return jnp.cos(omega[None, :] * (xs[:, None] - lower)) @ coeff
+    # Re[phi e^{-i omega a}] in real pair arithmetic (TPU has no complex128)
+    coeff = 2.0 / (upper - lower) * (phis[:K].real * np.cos(omega * lower)
+                                     + phis[:K].imag * np.sin(omega * lower))
+    coeff[0] *= 0.5
+    return jnp.cos(jnp.asarray(omega)[None, :] * (xs[:, None] - lower)) @ jnp.asarray(coeff)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,11 +48,23 @@ def ising_integrand(ind, nodes, weights, kind: str):
     f = jnp.full((B,), 2.0, dtype=x.dtype)
     if kid in (2, 3):  # a-term
         P = jnp.concatenate([one, jnp.cumprod(x, axis=1)], axis=1)  # (B, d+1)
-        num = P[:, None, :] - P[:, :, None]   # P_j - P_i at [b, i, j]
-        den = P[:, None, :] + P[:, :, None]
-        ratio = jnp.where(den == 0, 0.0, num / den) ** 2
-        iu = jnp.triu(jnp.ones((d + 1, d + 1), dtype=bool), k=1)
-        a = jnp.prod(jnp.where(iu[None, :, :], ratio, 1.0), axis=(1, 2))
+        if d <= 96:
+            num = P[:, None, :] - P[:, :, None]   # P_j - P_i at [b, i, j]
+            den = P[:, None, :] + P[:, :, None]
+            ratio = jnp.where(den == 0, 0.0, num / den) ** 2
+            iu = jnp.triu(jnp.ones((d + 1, d + 1), dtype=bool), k=1)
+            a = jnp.prod(jnp.where(iu[None, :, :], ratio, 1.0), axis=(1, 2))
+        else:
+            # large d: scan over j keeps memory at O(B d) instead of O(B d^2)
+            jdx = jnp.arange(d + 1)
+
+            def step(acc, j):
+                col = P[:, j]
+                r = jnp.where((jdx[None, :] < j) & (col[:, None] + P != 0),
+                              (col[:, None] - P) / (col[:, None] + P), 1.0)
+                return acc * jnp.prod(r * r, axis=1), None
+
+            a, _ = jax.lax.scan(step, jnp.ones((B,), x.dtype), jdx)
         f = f * a
     if kid in (1, 2):  # b-term
         pre = jnp.cumprod(x, axis=1)             # prefix products

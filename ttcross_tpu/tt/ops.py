@@ -91,6 +91,29 @@ def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     dt = t.dtype
     if weights is not None:
         dt = jnp.result_type(dt, *[jnp.asarray(w).dtype for w in weights])
+    if jnp.issubdtype(dt, jnp.complexfloating):
+        # complex contraction in explicit real/imag pair arithmetic: TPU
+        # hardware has no complex dtype support (ztt_quad equivalent)
+        rt = jnp.float64 if dt == jnp.complex128 else jnp.float32
+        vr = jnp.ones((1,), dtype=rt)
+        vi = jnp.zeros((1,), dtype=rt)
+        for c in range(t.d):
+            g = t.cores[c]
+            gr = jnp.real(g).astype(rt)
+            gi = jnp.imag(g).astype(rt) if jnp.iscomplexobj(g) else jnp.zeros_like(gr)
+            if weights is None:
+                mr, mi = jnp.sum(gr, axis=1), jnp.sum(gi, axis=1)
+            else:
+                w = jnp.asarray(weights[c])
+                wr = jnp.real(w).astype(rt)
+                wi = jnp.imag(w).astype(rt) if jnp.iscomplexobj(w) else jnp.zeros_like(wr)
+                mr = jnp.einsum("inj,n->ij", gr, wr) - jnp.einsum("inj,n->ij", gi, wi)
+                mi = jnp.einsum("inj,n->ij", gr, wi) + jnp.einsum("inj,n->ij", gi, wr)
+            vr, vi = vr @ mr - vi @ mi, vr @ mi + vi @ mr
+        # combine on host: creating complex arrays on TPU is unsupported
+        import numpy as _np
+
+        return _np.asarray(vr)[0] + 1j * _np.asarray(vi)[0]
     v = jnp.ones((1,), dtype=dt)
     for c in range(t.d):
         g = t.cores[c].astype(dt)
