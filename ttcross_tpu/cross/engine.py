@@ -49,6 +49,7 @@ class CrossConfig:
     small_element: float
     small_pivot: float
     snum: int = 8        # shifted diagonals in the initial search (smin, dmrgg.f90:29)
+    use_pallas: bool = False  # f32 Pallas superblock scoring in full pivoting (TPU)
 
 
 class EngineKit(NamedTuple):
@@ -77,6 +78,7 @@ class CrossResult:
     errors: list
     time: float
     converged: bool
+    history: list | None = None   # structured SweepRecords (utils/metrics.py)
 
 
 def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
@@ -348,14 +350,32 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         st = st._replace(amax=amax, neval=neval)
 
         rmask = (iR < st.rk[p + 1]).astype(dt)
-        approx = jnp.einsum("ijr,rkq->ijkq", _at(st.colf, p) * rmask[None, None, :], _at(st.rowf, p + 1))
-        resid = jnp.where(mask, vals - approx, 0.0)
-        flat = jnp.argmax(jnp.abs(resid).reshape(-1))
-        qq = flat % R
-        kk = (flat // R) % N
-        jj = (flat // (R * N)) % N
-        ii = flat // (R * N * N)
-        pivot = resid[ii, jj, kk, qq]
+        colf_m = _at(st.colf, p) * rmask[None, None, :]
+        rowf_m = _at(st.rowf, p + 1)
+        if cfg.use_pallas:
+            # f32 Pallas scoring: matmul + masked abs-argmax fused in VMEM;
+            # the pivot VALUE is then recomputed in f64 below
+            from ..ops.pallas_kernels import score_residual_argmax
+
+            flat, _score = score_residual_argmax(
+                vals.reshape(R * N, N * R), colf_m.reshape(R * N, R),
+                rowf_m.reshape(R, N * R), mask.reshape(R * N, N * R))
+            flat = flat.astype(jnp.int32)
+            qq = flat % R
+            kk = (flat // R) % N
+            jj = (flat // (R * N)) % N
+            ii = flat // (R * N * N)
+            approx_val = jnp.dot(colf_m[ii, jj, :], rowf_m[:, kk, qq])
+            pivot = vals[ii, jj, kk, qq] - approx_val
+        else:
+            approx = jnp.einsum("ijr,rkq->ijkq", colf_m, rowf_m)
+            resid = jnp.where(mask, vals - approx, 0.0)
+            flat = jnp.argmax(jnp.abs(resid).reshape(-1))
+            qq = flat % R
+            kk = (flat // R) % N
+            jj = (flat // (R * N)) % N
+            ii = flat // (R * N * N)
+            pivot = resid[ii, jj, kk, qq]
         acol = vals[:, :, kk, qq]
         arow = vals[ii, jj, :, :]
         return st, (ii, jj, kk, qq), pivot, acol, arow
@@ -581,6 +601,7 @@ def cross(
     key: int | jax.Array = 0,
     dtype=jnp.float64,
     verbose: bool = False,
+    use_pallas: bool = False,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -600,7 +621,7 @@ def cross(
         raise ValueError("max_rank must be >= 2")
     se, sp = precision_thresholds(dtype)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
-                      small_element=se, small_pivot=sp)
+                      small_element=se, small_pivot=sp, use_pallas=use_pallas)
     kit = get_engine(fun, cfg)
     init_fn, value_fn, make_run_fn = kit.init_fn, kit.value_fn, kit.make_run_fn
 
@@ -637,13 +658,17 @@ def cross(
                 errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
     converged = accuracy is not None and last_it < max_sweeps
 
+    from ..utils.metrics import history_from_run
+
+    history = history_from_run(last_it, vals, pmax, nev, truth, with_quad)
     if verbose:
-        for i in range(1, last_it + 1):
-            line = (f"{i:3d}{'>>' if i % 2 == 1 else '<<'} "
-                    f"n_evals: {int(nev[i]):10d} pivotmax {pmax[i]:9.3e}")
-            if with_quad:
-                tag = "err" if truth is not None else "cnv"
-                line += f" {tag} {errors[i-1]:9.3e} val {vals[i]:.14e}"
+        for rec in history:
+            line = (f"{rec.it:3d}{rec.direction} n_evals: {rec.n_evals:10d} "
+                    f"pivotmax {rec.pivotmax:9.3e}")
+            if rec.err is not None:
+                line += f" err {rec.err:9.3e} val {rec.value:.14e}"
+            elif rec.cnv is not None:
+                line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
             print(line)
 
     tt = finalize(st, cfg)
@@ -651,5 +676,5 @@ def cross(
         tt=tt, neval=int(st.neval), sweeps=last_it,
         ranks=tuple(int(x) for x in np.asarray(st.rk)),
         values=values, errors=errors,
-        time=time.perf_counter() - t0, converged=converged,
+        time=time.perf_counter() - t0, converged=converged, history=history,
     )

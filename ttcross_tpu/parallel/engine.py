@@ -247,6 +247,8 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
             st = st._replace(key=jax.random.fold_in(st.key, me))
             dt = st.amax.dtype
             vals0 = jnp.zeros((max_sweeps + 1,), dt)
+            pmax0 = jnp.zeros((max_sweeps + 1,), dt)
+            nev0 = jnp.zeros((max_sweeps + 1,), jnp.int64)
             if with_quad:
                 vals0 = vals0.at[0].set(pvalue(st, w, own_lo, own_hi))
 
@@ -254,20 +256,23 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
                 return ~carry[-1]
 
             def body(carry):
-                st, it, strike, vals, done = carry
+                st, it, strike, vals, pmax, nev, done = carry
                 st = psweep(st, it, own_lo, own_hi)
                 if with_quad:
                     vals = vals.at[it].set(pvalue(st, w, own_lo, own_hi))
+                pmax = pmax.at[it].set(st.pivotmax)
+                nev = nev.at[it].set(jax.lax.psum(st.neval - kit.init_neval, BOND_AXIS)
+                                     + kit.init_neval)
                 ready = it + 1 >= max_sweeps + 1
                 if accuracy is not None:
                     quiet = st.pivotmax <= accuracy * st.amax
                     strike = jnp.where(quiet, strike + 1, 0)
                     ready = ready | (strike >= 3)
-                return (st, it + 1, strike, vals, ready)
+                return (st, it + 1, strike, vals, pmax, nev, ready)
 
             init = (st, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
-                    vals0, jnp.asarray(max_sweeps < 1))
-            st, it, _, vals, _ = jax.lax.while_loop(cond, body, init)
+                    vals0, pmax0, nev0, jnp.asarray(max_sweeps < 1))
+            st, it, _, vals, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
 
             # gather authoritative cores -> replicated complete state
             c_idx = jnp.arange(d)
@@ -277,13 +282,13 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
                 jnp.where(authority[:, None, None, None], st.cores, 0.0), BOND_AXIS)
             neval = jax.lax.psum(st.neval - kit.init_neval, BOND_AXIS) + kit.init_neval
             st = st._replace(cores=cores, neval=neval)
-            return st, it - 1, vals
+            return st, it - 1, vals, pmax, nev
 
         state_spec = CrossState(*([P()] * len(CrossState._fields)))
         mapped = jax.shard_map(
             run_body, mesh=mesh,
             in_specs=(state_spec, P()),
-            out_specs=(state_spec, P(), P()),
+            out_specs=(state_spec, P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(mapped)
@@ -330,9 +335,11 @@ def cross_parallel(
 
     max_sweeps = max_rank - 1
     run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
-    st, last_it, vals = run_fn(st, w)
+    st, last_it, vals, pmax, nev = run_fn(st, w)
     last_it = int(last_it)
     vals = np.asarray(vals)
+    pmax = np.asarray(pmax)
+    nev = np.asarray(nev)
 
     values, errors = [], []
     if with_quad:
@@ -343,12 +350,16 @@ def cross_parallel(
             else:
                 prev = vals[i - 1]
                 errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    from ..utils.metrics import history_from_run
+
+    history = history_from_run(last_it, vals, pmax, nev, truth, with_quad)
     if verbose:
-        for i in range(1, last_it + 1):
-            line = f"{i:3d}{'>>' if i % 2 == 1 else '<<'}"
-            if with_quad:
-                tag = "err" if truth is not None else "cnv"
-                line += f" {tag} {errors[i-1]:9.3e} val {vals[i]:.14e}"
+        for rec in history:
+            line = f"{rec.it:3d}{rec.direction} n_evals: {rec.n_evals:10d}"
+            if rec.err is not None:
+                line += f" err {rec.err:9.3e} val {rec.value:.14e}"
+            elif rec.cnv is not None:
+                line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
             print(line)
 
     tt = finalize(st, cfg)
@@ -358,4 +369,5 @@ def cross_parallel(
         values=values, errors=errors,
         time=time.perf_counter() - t0,
         converged=accuracy is not None and last_it < max_sweeps,
+        history=history,
     )
