@@ -99,3 +99,18 @@ def test_neval_counts_are_active_only(rng):
     _, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
     res = cross(fun, [7] * 3, max_rank=3, pivoting=1)
     assert res.neval < 7**3  # far fewer evals than the full tensor
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    """Engine-state checkpoint/resume: stopping after k sweeps and resuming
+    must land at the same accuracy as an uninterrupted run."""
+    from ttcross_tpu.tt.serialize import load_state, save_state
+
+    _, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
+    r1 = cross(fun, [7] * 3, max_rank=4, max_sweeps=1, pivoting=1, return_state=True)
+    p = str(tmp_path / "ck.npz")
+    save_state(r1.state, p)
+    st = load_state(p)
+    r2 = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12, init_state=st)
+    approx = np.asarray(tt.full(r2.tt))
+    assert np.abs(approx - dense).max() < 1e-11

@@ -80,3 +80,18 @@ def test_native_io_rejects_garbage(tmp_path):
     p.write_bytes(b"JUNKJUNKJUNK" + b"\0" * 64)
     with pytest.raises(ValueError):
         native.tt_read_native(str(p))
+
+
+def test_chf_cross_language(rng):
+    """JAX CHF vs the independent C++ long-double CHF (test_chf_equal
+    parity)."""
+    from ttcross_tpu.apps import gaussian_chf
+
+    d = 4
+    mu = rng.standard_normal(d)
+    A = rng.standard_normal((d, d))
+    sigma = A @ A.T / d
+    omega = rng.standard_normal((81, d))
+    ours = np.asarray(gaussian_chf(omega, mu, sigma))
+    cpp = native.gaussian_chf_native(omega, mu, sigma)
+    np.testing.assert_allclose(ours, cpp, atol=1e-14)

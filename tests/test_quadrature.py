@@ -31,3 +31,17 @@ def test_quad_rinv_accuracy():
     q = quad_rinv(201)
     err = quad_rinv_error(q, 0.1, 100.0, 50)
     assert err < 1e-7, err
+
+
+def test_weighted_lottery_distribution():
+    import numpy as np
+
+    from ttcross_tpu.ops import weighted_lottery
+
+    wcol = np.array([0.0, 1.0, 3.0, 0.0])
+    wrow = np.array([2.0, 0.0, 2.0])
+    pts = np.asarray(weighted_lottery(0, wcol, wrow, 2000))
+    assert set(np.unique(pts[:, 0])) <= {1, 2}
+    assert set(np.unique(pts[:, 1])) <= {0, 2}
+    frac = (pts[:, 0] == 2).mean()
+    assert 0.65 < frac < 0.85  # ~3/4 weight on index 2

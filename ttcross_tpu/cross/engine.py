@@ -79,6 +79,7 @@ class CrossResult:
     time: float
     converged: bool
     history: list | None = None   # structured SweepRecords (utils/metrics.py)
+    state: object | None = None   # final CrossState when return_state=True
 
 
 def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
@@ -602,6 +603,9 @@ def cross(
     dtype=jnp.float64,
     verbose: bool = False,
     use_pallas: bool = False,
+    init_state: CrossState | None = None,
+    return_state: bool = False,
+    max_sweeps: int | None = None,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -628,7 +632,10 @@ def cross(
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     t0 = time.perf_counter()
-    st = init_fn(key)
+    # checkpoint/resume: restart from a saved CrossState (engine-state
+    # persistence the reference lacks, SURVEY.md §5; save with
+    # tt.serialize.save_state / load_state)
+    st = init_fn(key) if init_state is None else init_state
 
     with_quad = quad is not None
     if with_quad:
@@ -639,7 +646,8 @@ def cross(
     else:
         w = jnp.zeros((d, cfg.N))
 
-    max_sweeps = max_rank - 1
+    if max_sweeps is None:
+        max_sweeps = max_rank - 1
     run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
     st, last_it, vals, pmax, nev = run_fn(st, w)
     last_it = int(last_it)
@@ -672,9 +680,12 @@ def cross(
             print(line)
 
     tt = finalize(st, cfg)
-    return CrossResult(
+    res = CrossResult(
         tt=tt, neval=int(st.neval), sweeps=last_it,
         ranks=tuple(int(x) for x in np.asarray(st.rk)),
         values=values, errors=errors,
         time=time.perf_counter() - t0, converged=converged, history=history,
     )
+    if return_state:
+        res.state = st
+    return res

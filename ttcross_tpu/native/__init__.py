@@ -15,7 +15,7 @@ import threading
 import numpy as np
 
 __all__ = ["available", "gauss_legendre_dd", "contract_q", "tt_write_native",
-           "tt_read_native", "build"]
+           "tt_read_native", "gaussian_chf_native", "build"]
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "src", "ttcross_native.cpp")
@@ -59,6 +59,8 @@ def _load():
                                        ctypes.c_int64]
         lib.tt_read_data.argtypes = [ctypes.c_char_p, ctypes.c_int64, f64p,
                                      ctypes.c_int64]
+        lib.gaussian_chf_batch.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                           f64p, f64p, f64p, f64p, f64p]
         _lib = lib
         return _lib
 
@@ -112,6 +114,22 @@ def contract_q(t, weights_hi, weights_lo=None):
     if rc != 0:
         raise RuntimeError(f"dd_contract_chain failed: {rc}")
     return hi.value, lo.value
+
+
+def gaussian_chf_native(omega, mu, sigma):
+    """Independent C++ (long double) Gaussian CHF for the cross-language
+    check (test_chf_equal parity).  omega (B, n) -> complex (B,)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    omega = np.ascontiguousarray(omega, dtype=np.float64)
+    B, n = omega.shape
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    sigma = np.ascontiguousarray(sigma, dtype=np.float64)
+    re = np.zeros(B)
+    im = np.zeros(B)
+    lib.gaussian_chf_batch(B, n, omega, mu, sigma.ravel(), re, im)
+    return re + 1j * im
 
 
 def tt_write_native(t, path: str) -> None:

@@ -18,6 +18,7 @@
 // Built as a plain shared library; bound via ctypes (no pybind11 in the
 // image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -100,6 +101,30 @@ int dd_contract_chain(int64_t d, const int64_t* rk, const int64_t* nmode,
     *out_lo = (double)(val - (__float128)(*out_hi));
     delete[] v;
     delete[] vn;
+    return 0;
+}
+
+// ------------------------------------------------- cross-language CHF check
+// Independent C++ implementation of the n-d Gaussian characteristic
+// function phi(omega) = exp(i omega.mu - omega^T Sigma omega / 2), for the
+// cross-language validation the reference ran against an external binary
+// (test_chf_equal.f90:44-63; that binary was not vendored — this one is).
+int gaussian_chf_batch(int64_t B, int64_t n, const double* omega,
+                       const double* mu, const double* sigma,
+                       double* out_re, double* out_im) {
+    for (int64_t b = 0; b < B; ++b) {
+        const double* w = omega + b * n;
+        long double dot_mu = 0.0L, quad = 0.0L;
+        for (int64_t i = 0; i < n; ++i) {
+            dot_mu += (long double)w[i] * mu[i];
+            long double row = 0.0L;
+            for (int64_t j = 0; j < n; ++j) row += (long double)sigma[i * n + j] * w[j];
+            quad += (long double)w[i] * row;
+        }
+        long double mag = std::exp(-0.5L * quad);
+        out_re[b] = (double)(mag * std::cos(dot_mu));
+        out_im[b] = (double)(mag * std::sin(dot_mu));
+    }
     return 0;
 }
 
