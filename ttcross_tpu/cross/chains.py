@@ -71,6 +71,51 @@ def right_table(vip: jax.Array, p, d: int) -> jax.Array:
     return tab
 
 
+def advance_left(ltab: jax.Array, vip_p: jax.Array, p) -> jax.Array:
+    """Left table of bond p+1 from bond p's table: new chains route through
+    bond p's pivots (ltab_{p+1}[t] = ltab_p[vip_p[t,0]] with column p set to
+    vip_p[t,1]).  O(R d) instead of an O(d)-step scan."""
+    col = jnp.arange(ltab.shape[1])
+    nt = jnp.take(ltab, vip_p[:, 0], axis=0)
+    return jnp.where(col[None, :] == p, vip_p[:, 1][:, None], nt)
+
+
+def advance_right(rtab: jax.Array, vip_p1: jax.Array, p) -> jax.Array:
+    """Right table of bond p from bond p+1's table (backward recurrence:
+    column p+2 = vip_{p+1}[t,2], remainder via link vip_{p+1}[t,3])."""
+    col = jnp.arange(rtab.shape[1])
+    nt = jnp.take(rtab, vip_p1[:, 3], axis=0)
+    return jnp.where(col[None, :] == p + 2, vip_p1[:, 2][:, None], nt)
+
+
+def all_left_tables(vip: jax.Array, d: int) -> jax.Array:
+    """LT (d-1, R, d): left table of every bond, one forward scan."""
+    R = vip.shape[1]
+    lt0 = jnp.zeros((R, d), vip.dtype)
+
+    def step(lt, pb):
+        p, vb = pb
+        ltn = advance_left(lt, vb, p)
+        return ltn, lt
+
+    _, LT = jax.lax.scan(step, lt0, (jnp.arange(d - 1), vip))
+    return LT
+
+
+def all_right_tables(vip: jax.Array, d: int) -> jax.Array:
+    """RT (d-1, R, d): right table of every bond, one backward scan."""
+    R = vip.shape[1]
+    rt0 = jnp.zeros((R, d), vip.dtype)
+
+    def step(rt, pb):
+        p, vb = pb                     # p runs d-2 .. 0; emit carry as RT[p]
+        rtn = advance_right(rt, vb, p - 1)
+        return rtn, rt
+
+    _, RT = jax.lax.scan(step, rt0, (jnp.arange(d - 2, -1, -1), jnp.flip(vip, 0)))
+    return jnp.flip(RT, 0)
+
+
 def assemble_indices(ltab, rtab, p, i, j, k, q, d: int) -> jax.Array:
     """Full (B, d) multi-index for candidates (i, j, k, q) at bond p using
     precomputed chain tables."""

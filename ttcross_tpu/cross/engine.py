@@ -33,7 +33,8 @@ import numpy as np
 from ..config import precision_thresholds
 from ..ops import lu as lulib
 from ..tt.types import TT
-from .chains import assemble_indices, left_table, right_table
+from .chains import (advance_left, advance_right, all_left_tables,
+                     all_right_tables, assemble_indices, left_table, right_table)
 from .state import CrossState, empty_state
 
 __all__ = ["CrossResult", "cross", "make_engine"]
@@ -228,10 +229,16 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         used_row = jnp.zeros((N * R,), bool).at[vb[:, 3] * N + vb[:, 2]].max(smask)
         wcol = colmask & ~used_col
         wrow = rowmask & ~used_row
-        logit_c = jnp.where(wcol, 0.0, -jnp.inf)
-        logit_r = jnp.where(wrow, 0.0, -jnp.inf)
-        lin_c = jax.random.categorical(sub1, logit_c, shape=(NLOT,))
-        lin_r = jax.random.categorical(sub2, logit_r, shape=(NLOT,))
+        # uniform draw over the allowed sets via cumsum + searchsorted: the
+        # lottery weights are uniform (lottery2 with 0/1 weights,
+        # dmrgg.f90:424-439), so Gumbel sampling would waste ~R*N f64
+        # transcendentals per draw
+        cdf_c = jnp.cumsum(wcol.astype(jnp.int32))
+        cdf_r = jnp.cumsum(wrow.astype(jnp.int32))
+        u_c = jax.random.randint(sub1, (NLOT,), 0, jnp.maximum(cdf_c[-1], 1))
+        u_r = jax.random.randint(sub2, (NLOT,), 0, jnp.maximum(cdf_r[-1], 1))
+        lin_c = jnp.searchsorted(cdf_c, u_c, side="right").astype(jnp.int_)
+        lin_r = jnp.searchsorted(cdf_r, u_r, side="right").astype(jnp.int_)
         i_c, j_c = lin_c // N, lin_c % N
         q_c, k_c = lin_r // N, lin_r % N
 
@@ -446,14 +453,21 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                            lu_c=lu_c, lu_u=lu_u, lu_d=lu_d,
                            pivotmax=pivotmax, pivotmin=pivotmin)
 
-    def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1):
+    def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1,
+                   ltab=None, rtab=None):
         """Hunt + (maybe) accept at bond p.  Returns (state, tape_i, tape_f):
         tape_i (5,) int32 = (accepted, ii, jj, kk, qq); tape_f (2R+1,) =
         (c border, u border, pivot) — the per-sweep record the distributed
         engine exchanges (the reference's 4-int tape, dmrgg.f90:598-604,
-        extended with the LU row so replicas replay the LU too)."""
-        ltab = left_table(st.vip, p, d)
-        rtab = right_table(st.vip, p, d)
+        extended with the LU row so replicas replay the LU too).
+
+        ltab/rtab: the bond's chain tables; if not supplied they are
+        rebuilt by direct scans (the sweep drivers pass precomputed /
+        incrementally advanced tables instead — chains.py recurrences)."""
+        if ltab is None:
+            ltab = left_table(st.vip, p, d)
+        if rtab is None:
+            rtab = right_table(st.vip, p, d)
         if cfg.piv == -1:
             st, piv_idx, pivot, acol, arow = _hunt_full(st, p, ltab, rtab)
         else:
@@ -479,16 +493,31 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
     def sweep_fn_inner(st: CrossState, it) -> CrossState:
         """One full sweep over all bonds (dmrgg.f90:314-760);
-        '>>' on odd iterations (dmrgg.f90:316)."""
+        '>>' on odd iterations (dmrgg.f90:316).
+
+        Chain tables: the direction we sweep AWAY from is precomputed once
+        (those bonds' vip entries can't change before we reach them); the
+        direction we sweep INTO is advanced incrementally — O(d R) per
+        sweep instead of O(d^2 R) of per-bond scans."""
         dir_fwd = (it % 2) == 1
         st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
                          pivotmin=jnp.full((), -1.0, st.amax.dtype))
+        LT = all_left_tables(st.vip, d)
+        RT = all_right_tables(st.vip, d)
+        tab0 = jnp.zeros((R, d), st.vip.dtype)   # = LT[0] and RT[d-2]
 
-        def body(idx, s):
+        def body(idx, carry):
+            s, tab = carry
             p = jnp.where(dir_fwd, idx, d - 2 - idx)
-            return visit_bond(s, p, dir_fwd)[0]
+            ltab = jnp.where(dir_fwd, tab, _at(LT, p))
+            rtab = jnp.where(dir_fwd, _at(RT, p), tab)
+            s = visit_bond(s, p, dir_fwd, ltab=ltab, rtab=rtab)[0]
+            vip_p = _at(s.vip, p)
+            tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
+                            advance_right(tab, vip_p, p - 1))
+            return s, tab
 
-        st = jax.lax.fori_loop(0, d - 1, body, st)
+        st, _ = jax.lax.fori_loop(0, d - 1, body, (st, tab0))
         return st._replace(pivotmax_prev=st.pivotmax)
 
     sweep_fn = jax.jit(sweep_fn_inner)

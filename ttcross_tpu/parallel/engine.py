@@ -42,7 +42,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import precision_thresholds
 from ..ops import lu as lulib
-from ..cross.chains import left_table, right_table
+from ..cross.chains import (advance_left, advance_right, all_left_tables,
+                            all_right_tables, left_table, right_table)
 from ..cross.engine import CrossConfig, CrossResult, EngineKit, finalize, get_engine
 from ..cross.state import CrossState
 from .mesh import BOND_AXIS, bond_mesh, share
@@ -102,23 +103,34 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
                          pivotmin=jnp.full((), -1.0, st.amax.dtype))
         tape_i = jnp.zeros((d - 1, 5), jnp.int32)
         tape_f = jnp.zeros((d - 1, 2 * R + 1), st.amax.dtype)
+        LT = all_left_tables(st.vip, d)
+        RT = all_right_tables(st.vip, d)
+        first = jnp.where(dir_fwd, own_lo, own_hi - 1).astype(jnp.int32)
+        tab0 = jnp.where(dir_fwd, _at(LT, first), _at(RT, first))
 
         def body(idx, carry):
-            st, ti, tf = carry
+            st, ti, tf, tab = carry
             off = jnp.where(dir_fwd, idx, cnt - 1 - idx)
             p = (own_lo + jnp.clip(off, 0, jnp.maximum(cnt - 1, 0))).astype(jnp.int32)
             valid = idx < cnt
 
             def do(args):
-                st, ti, tf = args
-                st2, row_i, row_f = kit.visit_bond(st, p, dir_fwd, own_lo, own_hi)
+                st, ti, tf, tab = args
+                ltab = jnp.where(dir_fwd, tab, _at(LT, p))
+                rtab = jnp.where(dir_fwd, _at(RT, p), tab)
+                st2, row_i, row_f = kit.visit_bond(st, p, dir_fwd, own_lo, own_hi,
+                                                   ltab=ltab, rtab=rtab)
                 ti = jax.lax.dynamic_update_slice(ti, row_i[None], (p, jnp.int32(0)))
                 tf = jax.lax.dynamic_update_slice(tf, row_f[None], (p, jnp.int32(0)))
-                return st2, ti, tf
+                vip_p = _at(st2.vip, p)
+                tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
+                                advance_right(tab, vip_p, p - 1))
+                return st2, ti, tf, tab
 
-            return jax.lax.cond(valid, do, lambda a: a, (st, ti, tf))
+            return jax.lax.cond(valid, do, lambda a: a, (st, ti, tf, tab))
 
-        st, tape_i, tape_f = jax.lax.fori_loop(0, max_cnt, body, (st, tape_i, tape_f))
+        st, tape_i, tape_f, _ = jax.lax.fori_loop(0, max_cnt, body,
+                                                  (st, tape_i, tape_f, tab0))
         return st, tape_i, tape_f
 
     def replay(st: CrossState, TI, TF, own_lo, own_hi):
