@@ -28,10 +28,12 @@ def main():
     res = cross(prob.fun, [prob.n] * d, max_rank=rank, accuracy=acc, pivoting=piv)
     print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
 
-    # promote to the complex path and contract with complex unit weights
-    # (dtt -> ztt promotion + ztt_quad, test_crs_mvn_complex.f90:154-160)
+    # complex contraction path with complex unit weights (dtt -> ztt
+    # promotion + ztt_quad, test_crs_mvn_complex.f90:154-160); the
+    # promotion happens inside contract as real/imag pair arithmetic
+    # (TPU has no complex dtype)
     w_complex = [prob.quad_weights.astype(np.complex128) * (1.0 + 0.0j)] * d
-    val = complex(tt.contract(res.tt.astype(np.complex128), w_complex))
+    val = complex(tt.contract(res.tt, w_complex))
     print(f"computed value: {val.real:.40e} {val.imag:.40e}")
     print(f"analytic value: {1.0:.40e}")
     print(f"correct digits: {-np.log10(abs(1 - val)):7.2f}")

@@ -1,0 +1,47 @@
+"""Driver smoke tests: run the CLI programs as subprocesses on the forced
+CPU platform (the reference's 'run appropriate ./test_*' workflow,
+README.md:19-20).  The heavy ones are @slow."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_driver(name, *args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ROOT
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "drivers", name), *map(str, args)],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=ROOT,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    return out.stdout
+
+
+def test_print_s_vectors():
+    out = run_driver("print_s_vectors.py", 3, timeout=120)
+    assert out.count("\n") == 4
+    assert "+1 +1 +1" in out
+
+
+def test_print_cos_coeff():
+    out = run_driver("print_cos_coeff.py", 2, 3, timeout=300)
+    assert out.count("coeff=") == 3
+
+
+@pytest.mark.slow
+def test_crs_stdnorm_driver():
+    out = run_driver("crs_stdnorm.py", 4, 33, 4, 1)
+    assert "correct digits" in out
+
+
+@pytest.mark.slow
+def test_crs_ising_driver():
+    out = run_driver("crs_ising.py", "c", 3, 33, 6, 1)
+    digits = float(out.rsplit("correct digits:", 1)[1].split()[0])
+    assert digits >= 6

@@ -67,6 +67,7 @@ class EngineKit(NamedTuple):
     eval_col_fiber: Callable
     eval_row_fiber: Callable
     init_neval: int
+    finalize_fn: Callable = None
 
 
 @dataclass
@@ -594,19 +595,45 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
         return run_fn
 
+    @jax.jit
+    def finalize_fn(st: CrossState) -> jax.Array:
+        """Apply the LU inverses to all raw cores in ONE compiled call
+        (dtt_lua, dmrgg.f90:1169-1258).  Ranks stay traced so a single
+        executable serves every rank pattern (an eager per-core version
+        would recompile per concrete rank value)."""
+
+        def one(c, cores):
+            g = _at(st.cores, c)
+            solved = lulib.solve_rows(_lu_at(st, jnp.maximum(c - 1, 0)), st.rk[c], g)
+            g = jnp.where(c > 0, solved, g)
+            solved = lulib.solve_cols(_lu_at(st, jnp.minimum(c, d - 2)), st.rk[c + 1], g)
+            g = jnp.where(c < d - 1, solved, g)
+            return jax.lax.dynamic_update_slice(
+                cores, g[None], (jnp.asarray(c, jnp.int32),) + (jnp.int32(0),) * 3)
+
+        return jax.lax.fori_loop(0, d, one, jnp.zeros_like(st.cores))
+
     return EngineKit(
         cfg=cfg, init_fn=init_fn, sweep_fn=sweep_fn, value_fn=value_fn,
         make_run_fn=make_run_fn, visit_bond=visit_bond, value_mat=value_mat,
         eval_col_fiber=_eval_col_fiber, eval_row_fiber=_eval_row_fiber,
         init_neval=cfg.snum * int(min(cfg.n)) + int(sum(cfg.n)),
+        finalize_fn=finalize_fn,
     )
 
 
-def finalize(st: CrossState, cfg: CrossConfig) -> TT:
+def finalize(st: CrossState, cfg: CrossConfig, kit=None) -> TT:
     """Apply the LU inverses to the raw cores and trim the padding into a
-    proper TT (dtt_lua, dmrgg.f90:1169-1258, single-process path)."""
+    proper TT (dtt_lua, dmrgg.f90:1169-1258, single-process path).
+
+    With a kit, the solves run as ONE jitted call (finalize_fn); the eager
+    fallback compiles per concrete rank value and is kept for kit-less use."""
     d = cfg.d
     rk = np.asarray(st.rk)
+    if kit is not None and kit.finalize_fn is not None:
+        solved = np.asarray(kit.finalize_fn(st))
+        return TT(tuple(jnp.asarray(solved[c][: rk[c], : cfg.n[c], : rk[c + 1]])
+                        for c in range(d)))
     cores = []
     for c in range(d):
         g = st.cores[c]
@@ -708,7 +735,7 @@ def cross(
                 line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
             print(line)
 
-    tt = finalize(st, cfg)
+    tt = finalize(st, cfg, kit)
     res = CrossResult(
         tt=tt, neval=int(st.neval), sweeps=last_it,
         ranks=tuple(int(x) for x in np.asarray(st.rk)),

@@ -374,7 +374,7 @@ def cross_parallel(
                 line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
             print(line)
 
-    tt = finalize(st, cfg)
+    tt = finalize(st, cfg, kit)
     return CrossResult(
         tt=tt, neval=int(st.neval), sweeps=last_it,
         ranks=tuple(int(x) for x in np.asarray(st.rk)),

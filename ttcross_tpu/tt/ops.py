@@ -84,46 +84,63 @@ def full(t: TT) -> jax.Array:
     return out[..., 0]  # r_d == 1
 
 
+@jax.jit
+def _contract_real(cores, ws):
+    v = jnp.ones((1,), dtype=cores[0].dtype)
+    for g, w in zip(cores, ws):
+        v = v @ jnp.einsum("inj,n->ij", g, w)
+    return v[0]
+
+
+@jax.jit
+def _contract_pair(cores_r, cores_i, ws_r, ws_i):
+    """Complex chain contraction as real/imag pairs (TPU has no complex)."""
+    rt = cores_r[0].dtype
+    vr = jnp.ones((1,), dtype=rt)
+    vi = jnp.zeros((1,), dtype=rt)
+    for gr, gi, wr, wi in zip(cores_r, cores_i, ws_r, ws_i):
+        mr = jnp.einsum("inj,n->ij", gr, wr) - jnp.einsum("inj,n->ij", gi, wi)
+        mi = jnp.einsum("inj,n->ij", gr, wi) + jnp.einsum("inj,n->ij", gi, wr)
+        vr, vi = vr @ mr - vi @ mi, vr @ mi + vi @ mr
+    return vr[0], vi[0]
+
+
 def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     """Full contraction against per-mode weight vectors (local part of
     dtt_quad, dmrgg.f90:1323-1345).  weights=None sums all entries
-    (sumall, tt.f90:770-814)."""
+    (sumall, tt.f90:770-814).  Compute runs under jit (eager per-op
+    dispatch pays a remote compile per op shape on some TPU platforms)."""
     dt = t.dtype
     if weights is not None:
         dt = jnp.result_type(dt, *[jnp.asarray(w).dtype for w in weights])
     if jnp.issubdtype(dt, jnp.complexfloating):
         # complex contraction in explicit real/imag pair arithmetic: TPU
-        # hardware has no complex dtype support (ztt_quad equivalent)
-        rt = jnp.float64 if dt == jnp.complex128 else jnp.float32
-        vr = jnp.ones((1,), dtype=rt)
-        vi = jnp.zeros((1,), dtype=rt)
-        for c in range(t.d):
-            g = t.cores[c]
-            gr = jnp.real(g).astype(rt)
-            gi = jnp.imag(g).astype(rt) if jnp.iscomplexobj(g) else jnp.zeros_like(gr)
-            if weights is None:
-                mr, mi = jnp.sum(gr, axis=1), jnp.sum(gi, axis=1)
-            else:
-                w = jnp.asarray(weights[c])
-                wr = jnp.real(w).astype(rt)
-                wi = jnp.imag(w).astype(rt) if jnp.iscomplexobj(w) else jnp.zeros_like(wr)
-                mr = jnp.einsum("inj,n->ij", gr, wr) - jnp.einsum("inj,n->ij", gi, wi)
-                mi = jnp.einsum("inj,n->ij", gr, wi) + jnp.einsum("inj,n->ij", gi, wr)
-            vr, vi = vr @ mr - vi @ mi, vr @ mi + vi @ mr
-        # combine on host: creating complex arrays on TPU is unsupported
+        # hardware has no complex dtype support (ztt_quad equivalent).
+        # Real/imag are split on HOST — even creating a C128 device array
+        # fails on TPU.
         import numpy as _np
 
-        return _np.asarray(vr)[0] + 1j * _np.asarray(vi)[0]
-    v = jnp.ones((1,), dtype=dt)
-    for c in range(t.d):
-        g = t.cores[c].astype(dt)
+        rt = jnp.float64 if dt == jnp.complex128 else jnp.float32
+
+        def _split(x):
+            x = _np.asarray(x)
+            if _np.iscomplexobj(x):
+                return (jnp.asarray(x.real, rt), jnp.asarray(x.imag, rt))
+            a = jnp.asarray(x, rt)
+            return (a, jnp.zeros_like(a))
+
         if weights is None:
-            m = jnp.sum(g, axis=1)  # (r, r')
-        else:
-            w = jnp.asarray(weights[c], dtype=dt)
-            m = jnp.einsum("inj,n->ij", g, w)
-        v = v @ m
-    return v[0]
+            weights = [_np.ones(ni) for ni in t.n]
+        cr, ci = zip(*[_split(g) for g in t.cores])
+        wr, wi = zip(*[_split(w) for w in weights])
+        vr, vi = _contract_pair(cr, ci, wr, wi)
+        # combine on host: creating complex arrays on TPU is unsupported
+        return _np.asarray(vr)[()] + 1j * _np.asarray(vi)[()]
+    if weights is None:
+        ws = tuple(jnp.ones((ni,), dt) for ni in t.n)
+    else:
+        ws = tuple(jnp.asarray(w, dt) for w in weights)
+    return _contract_real(tuple(g.astype(dt) for g in t.cores), ws)
 
 
 def sumall(t: TT) -> jax.Array:
