@@ -116,6 +116,40 @@ def all_right_tables(vip: jax.Array, d: int) -> jax.Array:
     return jnp.flip(RT, 0)
 
 
+def pivot_index_sets(vip, rk):
+    """Host-side decode of the pivot chains into explicit index sets:
+    I[b] = list of left prefix tuples (modes 0..b), J[b] = right suffix
+    tuples (modes b+1..d-1) for every bond b.  Used by the extended-
+    precision refinement (cross/refine.py) and by tests."""
+    import numpy as np
+
+    vip = np.asarray(vip)
+    rk = np.asarray(rk)
+    nb = vip.shape[0]
+    d = nb + 1
+    I, J = [], []
+    for b in range(nb):
+        Is, Js = [], []
+        for s in range(rk[b + 1]):
+            pre = [0] * (b + 1)
+            pre[b] = int(vip[b, s, 1])
+            t = int(vip[b, s, 0])
+            for sb in range(b - 1, -1, -1):
+                pre[sb] = int(vip[sb, t, 1])
+                t = int(vip[sb, t, 0])
+            Is.append(tuple(pre))
+            suf = [0] * (d - b - 1)
+            suf[0] = int(vip[b, s, 2])
+            t = int(vip[b, s, 3])
+            for sb in range(b + 1, d - 1):
+                suf[sb - b] = int(vip[sb, t, 2])
+                t = int(vip[sb, t, 3])
+            Js.append(tuple(suf))
+        I.append(Is)
+        J.append(Js)
+    return I, J
+
+
 def assemble_indices(ltab, rtab, p, i, j, k, q, d: int) -> jax.Array:
     """Full (B, d) multi-index for candidates (i, j, k, q) at bond p using
     precomputed chain tables."""

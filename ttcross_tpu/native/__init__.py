@@ -61,6 +61,14 @@ def _load():
                                      ctypes.c_int64]
         lib.gaussian_chf_batch.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                            f64p, f64p, f64p, f64p, f64p]
+        lib.stdnorm_q.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                  f64p, f64p, f64p, f64p]
+        lib.ising_c_q.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                  f64p, f64p, f64p, f64p, f64p, f64p]
+        lib.cross_value_q.argtypes = [
+            ctypes.c_int64, i64p, i64p, f64p, f64p, f64p, f64p, f64p, f64p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -113,6 +121,72 @@ def contract_q(t, weights_hi, weights_lo=None):
                                ctypes.byref(hi), ctypes.byref(lo))
     if rc != 0:
         raise RuntimeError(f"dd_contract_chain failed: {rc}")
+    return hi.value, lo.value
+
+
+def stdnorm_dd(ind, nodes_hi, nodes_lo):
+    """exp(-sum x^2) at dd nodes in __float128; ind (B, d) -> (hi, lo)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ind = np.ascontiguousarray(ind, dtype=np.int64)
+    B, d = ind.shape
+    hi = np.zeros(B)
+    lo = np.zeros(B)
+    lib.stdnorm_q(B, d, ind, np.ascontiguousarray(nodes_hi),
+                  np.ascontiguousarray(nodes_lo), hi, lo)
+    return hi, lo
+
+
+def ising_c_dd(ind, nodes_hi, nodes_lo, w_hi, w_lo):
+    """Ising C-kind integrand at dd nodes/weights in __float128."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ind = np.ascontiguousarray(ind, dtype=np.int64)
+    B, d = ind.shape
+    hi = np.zeros(B)
+    lo = np.zeros(B)
+    lib.ising_c_q(B, d, ind, np.ascontiguousarray(nodes_hi),
+                  np.ascontiguousarray(nodes_lo), np.ascontiguousarray(w_hi),
+                  np.ascontiguousarray(w_lo), hi, lo)
+    return hi, lo
+
+
+def cross_value_dd(rk, n, cores_hi, cores_lo, ahat_hi, ahat_lo,
+                   weights_hi, weights_lo):
+    """Quadrature value of the cross interpolant in __float128: chain of
+    per-core contractions with Ahat^{-1} LU solves (the mp-tier
+    dtt_lua + dtt_quad pipeline).  cores/ahat are lists of (hi, lo) numpy
+    arrays; returns (hi, lo)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    d = len(n)
+    rk = np.ascontiguousarray(rk, dtype=np.int64)
+    nm = np.ascontiguousarray(n, dtype=np.int64)
+    ch = np.ascontiguousarray(np.concatenate([np.asarray(c).ravel() for c in cores_hi]))
+    cl = np.ascontiguousarray(np.concatenate([np.asarray(c).ravel() for c in cores_lo]))
+    if len(ahat_hi):
+        ahh = np.ascontiguousarray(np.concatenate([np.asarray(a).ravel() for a in ahat_hi]))
+        ahl = np.ascontiguousarray(np.concatenate([np.asarray(a).ravel() for a in ahat_lo]))
+    else:
+        ahh = np.zeros(1)
+        ahl = np.zeros(1)
+    N = int(nm.max())
+    wh = np.zeros((d, N))
+    wl = np.zeros((d, N))
+    for c in range(d):
+        wh[c, : nm[c]] = np.asarray(weights_hi[c])
+        wl[c, : nm[c]] = np.asarray(weights_lo[c])
+    hi = ctypes.c_double()
+    lo = ctypes.c_double()
+    rc = lib.cross_value_q(d, rk, nm, ch, cl, ahh, ahl,
+                           np.ascontiguousarray(wh.ravel()),
+                           np.ascontiguousarray(wl.ravel()), N,
+                           ctypes.byref(hi), ctypes.byref(lo))
+    if rc != 0:
+        raise RuntimeError(f"cross_value_q failed: {rc} (singular pivot block?)")
     return hi.value, lo.value
 
 

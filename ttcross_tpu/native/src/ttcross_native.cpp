@@ -104,6 +104,144 @@ int dd_contract_chain(int64_t d, const int64_t* rk, const int64_t* nmode,
     return 0;
 }
 
+// -------------------------------------------- extended-precision refinement
+// The high-precision tier (the reference's MPFUN role): integrands and the
+// cross-interpolant quadrature evaluated in __float128 on host.  Values in
+// and out as double-double (hi, lo) pairs.
+
+static inline __float128 dd_in(double hi, double lo) {
+    return (__float128)hi + (__float128)lo;
+}
+static inline void dd_out(__float128 v, double* hi, double* lo) {
+    *hi = (double)v;
+    *lo = (double)(v - (__float128)(*hi));
+}
+
+// stdnorm integrand exp(-sum x^2) at dd nodes (test_crs_stdnorm parity)
+int stdnorm_q(int64_t B, int64_t d, const int64_t* ind,
+              const double* nodes_hi, const double* nodes_lo,
+              double* out_hi, double* out_lo) {
+    for (int64_t b = 0; b < B; ++b) {
+        __float128 s = 0.0Q;
+        for (int64_t c = 0; c < d; ++c) {
+            __float128 x = dd_in(nodes_hi[ind[b * d + c]], nodes_lo[ind[b * d + c]]);
+            s += x * x;
+        }
+        dd_out(expq(-s), out_hi + b, out_lo + b);
+    }
+    return 0;
+}
+
+// Ising C-kind integrand 2/(v w) * prod weights at dd nodes
+// (dfunc_ising_discr id=1, test_crs_ising.f90:196-217)
+int ising_c_q(int64_t B, int64_t d, const int64_t* ind,
+              const double* nodes_hi, const double* nodes_lo,
+              const double* w_hi, const double* w_lo,
+              double* out_hi, double* out_lo) {
+    for (int64_t b = 0; b < B; ++b) {
+        __float128 v = 1.0Q, w = 1.0Q, vk = 1.0Q, wk = 1.0Q, f;
+        for (int64_t i = 0; i < d; ++i) {
+            int64_t fwd = ind[b * d + i];
+            int64_t bwd = ind[b * d + (d - 1 - i)];
+            wk *= dd_in(nodes_hi[fwd], nodes_lo[fwd]);
+            vk *= dd_in(nodes_hi[bwd], nodes_lo[bwd]);
+            v += vk;
+            w += wk;
+        }
+        f = 2.0Q / (v * w);
+        for (int64_t i = 0; i < d; ++i) {
+            int64_t j = ind[b * d + i];
+            f *= dd_in(w_hi[j], w_lo[j]);
+        }
+        dd_out(f, out_hi + b, out_lo + b);
+    }
+    return 0;
+}
+
+// Quadrature value of the cross interpolant in __float128:
+//   val = e0 (prod_c  M_c * inv(Ahat_c))  with  M_c[i,j] = sum_k G_c[i,k,j] w_c[k]
+// (the dtt_lua + dtt_quad pipeline of the mp tier, dmrggmp.f90:720-888).
+// cores_*: concatenated C-order (r_c, n_c, r_{c+1}) buffers; ahat_*:
+// concatenated (r_{b+1} x r_{b+1}) pivot submatrices per bond.
+int cross_value_q(int64_t d, const int64_t* rk, const int64_t* nmode,
+                  const double* cores_hi, const double* cores_lo,
+                  const double* ahat_hi, const double* ahat_lo,
+                  const double* w_hi, const double* w_lo, int64_t wstride,
+                  double* out_hi, double* out_lo) {
+    int64_t rmax = 1;
+    for (int64_t c = 0; c <= d; ++c) if (rk[c] > rmax) rmax = rk[c];
+    __float128* v = new __float128[rmax];
+    __float128* vn = new __float128[rmax];
+    __float128* A = new __float128[rmax * rmax];
+    int64_t* piv = new int64_t[rmax];
+    v[0] = 1.0Q;
+
+    const double* core_h = cores_hi;
+    const double* core_l = cores_lo;
+    const double* ah = ahat_hi;
+    const double* al = ahat_lo;
+    int status = 0;
+    for (int64_t c = 0; c < d; ++c) {
+        int64_t r1 = rk[c], nc = nmode[c], r2 = rk[c + 1];
+        // vn = v^T M_c
+        for (int64_t j = 0; j < r2; ++j) vn[j] = 0.0Q;
+        for (int64_t i = 0; i < r1; ++i) {
+            for (int64_t k = 0; k < nc; ++k) {
+                __float128 wk = dd_in(w_hi[c * wstride + k], w_lo[c * wstride + k]);
+                const double* row_h = core_h + (i * nc + k) * r2;
+                const double* row_l = core_l + (i * nc + k) * r2;
+                __float128 s = v[i] * wk;
+                for (int64_t j = 0; j < r2; ++j)
+                    vn[j] += s * dd_in(row_h[j], row_l[j]);
+            }
+        }
+        core_h += r1 * nc * r2;
+        core_l += r1 * nc * r2;
+        if (c < d - 1) {
+            // need y = vn * inv(Ahat_c): solve B y^T = vn^T with B = Ahat^T
+            // by textbook row-pivoted LU in __float128
+            for (int64_t i = 0; i < r2; ++i)
+                for (int64_t j = 0; j < r2; ++j)
+                    A[i * r2 + j] = dd_in(ah[j * r2 + i], al[j * r2 + i]);  // B = Ahat^T
+            ah += r2 * r2;
+            al += r2 * r2;
+            for (int64_t i = 0; i < r2; ++i) piv[i] = i;
+            for (int64_t k = 0; k < r2; ++k) {
+                int64_t p = k;
+                for (int64_t i = k + 1; i < r2; ++i)
+                    if (fabsq(A[piv[i] * r2 + k]) > fabsq(A[piv[p] * r2 + k])) p = i;
+                int64_t tmp = piv[k]; piv[k] = piv[p]; piv[p] = tmp;
+                __float128 akk = A[piv[k] * r2 + k];
+                if (akk == 0.0Q) { status = -2; goto done; }
+                for (int64_t i = k + 1; i < r2; ++i) {
+                    __float128 m = A[piv[i] * r2 + k] / akk;
+                    A[piv[i] * r2 + k] = m;
+                    for (int64_t j = k + 1; j < r2; ++j)
+                        A[piv[i] * r2 + j] -= m * A[piv[k] * r2 + j];
+                }
+            }
+            // forward: L z = P vn^T (L unit lower, rows permuted by piv)
+            for (int64_t k = 0; k < r2; ++k) {
+                __float128 s = vn[piv[k]];
+                for (int64_t j = 0; j < k; ++j) s -= A[piv[k] * r2 + j] * v[j];
+                v[k] = s;   // z
+            }
+            // backward: U y^T = z
+            for (int64_t k = r2 - 1; k >= 0; --k) {
+                __float128 s = v[k];
+                for (int64_t j = k + 1; j < r2; ++j) s -= A[piv[k] * r2 + j] * v[j];
+                v[k] = s / A[piv[k] * r2 + k];
+            }
+        } else {
+            for (int64_t j = 0; j < r2; ++j) v[j] = vn[j];
+        }
+    }
+done:
+    dd_out(v[0], out_hi, out_lo);
+    delete[] v; delete[] vn; delete[] A; delete[] piv;
+    return status;
+}
+
 // ------------------------------------------------- cross-language CHF check
 // Independent C++ implementation of the n-d Gaussian characteristic
 // function phi(omega) = exp(i omega.mu - omega^T Sigma omega / 2), for the
