@@ -662,6 +662,8 @@ def cross(
     init_state: CrossState | None = None,
     return_state: bool = False,
     max_sweeps: int | None = None,
+    small_element: float | None = None,
+    small_pivot: float | None = None,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -680,6 +682,14 @@ def cross(
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2")
     se, sp = precision_thresholds(dtype)
+    # acceptance thresholds are overridable: the per-dtype defaults
+    # (dmrgg.f90:62-84) reject pivots 5+ orders below the current max,
+    # which truncates quantics crosses whose bond spectra decay
+    # geometrically (small_pivot ~ 1e-14 is appropriate there)
+    if small_element is not None:
+        se = float(small_element)
+    if small_pivot is not None:
+        sp = float(small_pivot)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp, use_pallas=use_pallas)
     kit = get_engine(fun, cfg)
