@@ -75,6 +75,80 @@ def ising_integrand(ind, nodes, weights, kind: str):
     return f * jnp.prod(w, axis=1)
 
 
+def ising_c_integrand_dd(ind, nodes_dd, weights_dd):
+    """C-kind Ising integrand evaluated in DEVICE double-double arithmetic:
+    f = 2/(v w) prod_i W_i with the telescoping prefix/suffix product sums
+    computed as dd scans (the device-side twin of native.ising_c_dd, and
+    the fun_dd for the defect-correction pipeline).  Returns DD (B,)."""
+    import jax
+
+    from ..ops.dd import DD, dd, dd_add, dd_div, dd_mul
+
+    ind = jnp.asarray(ind)
+    B = ind.shape[0]
+    xh = nodes_dd.hi[ind]
+    xl = nodes_dd.lo[ind]
+
+    def cum_sum_of_prods(h, w):
+        """1 + sum_k prod_{i<=k} x_i over axis 1, in dd (scan over modes)."""
+
+        def step(carry, xt):
+            pk, s = carry
+            pk = dd_mul(pk, xt)
+            s = dd_add(s, pk)
+            return (pk, s), None
+
+        init = (dd(jnp.ones(B)), dd(jnp.ones(B)))
+        (pk, s), _ = jax.lax.scan(step, init, DD(h.T, w.T))
+        return s
+
+    w_sum = cum_sum_of_prods(xh, xl)
+    v_sum = cum_sum_of_prods(xh[:, ::-1], xl[:, ::-1])
+    b = dd_div(dd(jnp.full(B, 2.0)), dd_mul(v_sum, w_sum))
+
+    gh = weights_dd.hi[ind]
+    gl = weights_dd.lo[ind]
+
+    def stepw(carry, wt):
+        return dd_mul(carry, wt), None
+
+    prodw, _ = jax.lax.scan(stepw, dd(jnp.ones(B)), DD(gh.T, gl.T))
+    return dd_mul(b, prodw)
+
+
+def make_ising_dd(m: int = 6, n: int = 65):
+    """Ising C_m problem with dd quadrature data (__float128 rule): returns
+    (prob_f64, fun_dd, weights_hi, weights_lo) for the defect-correction
+    pipeline (cross/defect.py).  The f64 problem's nodes/weights are the hi
+    parts so TT1 approximates the same dd-sampled tensor to f64."""
+    from .. import native
+    from ..ops.dd import DD, dd, dd_add, dd_mul
+
+    if n % 2 == 0:
+        n += 1
+    d = m - 1
+    (xh, xl), (wh, wl) = native.gauss_legendre_dd(n)
+    half = dd(0.5)
+    Xn = dd_mul(dd_add(DD(jnp.asarray(xh), jnp.asarray(xl)), dd(1.0)), half)
+    val = float(n // 2)
+    Wn = dd_mul(DD(jnp.asarray(wh), jnp.asarray(wl)), dd(0.5 * val))
+
+    nodes = np.asarray(Xn.hi)
+    weights = np.asarray(Wn.hi)
+    quad_weights = np.full(n, 1.0 / val)
+    from .truths import ising_truth
+
+    prob = IsingProblem(kind="C", m=m, d=d, n=n, nodes=nodes, weights=weights,
+                        quad_weights=quad_weights, truth=ising_truth("C", m))
+
+    def fun_dd(ind):
+        return ising_c_integrand_dd(ind, Xn, Wn)
+
+    weights_hi = [quad_weights] * d
+    weights_lo = [np.zeros(n)] * d
+    return prob, fun_dd, weights_hi, weights_lo
+
+
 @dataclass(frozen=True)
 class IsingProblem:
     """Problem bundle: batched integrand, rank-1 quad weights, truth."""

@@ -25,7 +25,7 @@ import numpy as np
 __all__ = ["DD", "dd", "two_sum", "two_prod", "dd_add", "dd_sub", "dd_mul",
            "dd_div", "dd_neg", "dd_abs", "dd_sum", "dd_dot", "dd_matvec",
            "dd_matmul", "dd_to_float", "dd_from_string", "dd_to_string",
-           "dd_contract"]
+           "dd_contract", "dd_gather_tt"]
 
 _SPLIT = 134217729.0  # 2^27 + 1, Dekker splitting constant for binary64
 
@@ -170,6 +170,25 @@ def dd_to_string(x, digits: int = 32) -> str:
     getcontext().prec = digits + 10
     v = Decimal(float(np.asarray(x.hi))) + Decimal(float(np.asarray(x.lo)))
     return f"{v:.{digits}e}"
+
+
+def dd_gather_tt(t, ind) -> DD:
+    """Evaluate an f64 TT at (B, d) indices with all accumulation in dd:
+    the chain of matvecs runs through dd_mul/dd_sum so the result carries
+    ~32 significant digits of the exact product of the stored f64 cores.
+    Jittable; used by the defect-correction pipeline (cross/defect.py)."""
+    import jax.numpy as jnp
+
+    ind = jnp.asarray(ind)
+    B = ind.shape[0]
+    v = DD(jnp.ones((B, 1)), jnp.zeros((B, 1)))
+    for c in range(t.d):
+        g = jnp.take(t.cores[c], ind[:, c], axis=1)          # (r, B, r2)
+        g = jnp.moveaxis(g, 1, 0)                            # (B, r, r2)
+        prod = dd_mul(DD(v.hi[:, :, None], v.lo[:, :, None]),
+                      DD(g, jnp.zeros_like(g)))              # (B, r, r2)
+        v = dd_sum(prod, axis=1)                             # (B, r2)
+    return DD(v.hi[:, 0], v.lo[:, 0])
 
 
 def dd_contract(t, weights_hi, weights_lo=None) -> DD:
