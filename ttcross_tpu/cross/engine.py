@@ -160,11 +160,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         cores = st.cores.at[:, 0, :, 0].set(fvals)
         delta = fvals[0, ind0[0]]                      # = A(ind0), same for all fibers
         lu_d = st.lu_d.at[:, 0].set(delta)
+        itt = st.itt.at[:, 0, 0].set(1.0 / delta)      # T = diag(delta, 1, ...)
         colf = st.colf.at[:, 0, :, 0].set(fvals / delta)  # d2_lual at r=1 divides by pivot
         rowf = st.rowf.at[:, 0, :, 0].set(fvals)          # d2_luar at r=1 is a no-op
         neval = jnp.asarray(cfg.snum * nn + int(sum(cfg.n)), jnp.int64)
         return st._replace(cores=cores, colf=colf, rowf=rowf, vip=vip, lu_d=lu_d,
-                           amax=amax, pivotmax_prev=amax, neval=neval, key=key)
+                           itt=itt, amax=amax, pivotmax_prev=amax, neval=neval, key=key)
 
     # ----------------------------------------------------------- bond visit
     def _eval_col_fiber(st, p, ltab, rtab, kk, qq):
@@ -412,6 +413,18 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         lu_u = jax.lax.dynamic_update_slice(st.lu_u, u_new[None, None, :], (p, s, z))
         lu_d = jax.lax.dynamic_update_slice(st.lu_d, pivot[None, None], (p, s))
 
+        # maintained triangular inverses (bordered-inverse recurrences):
+        # L_{s+1}^-1 = [[L^-1, 0], [-c L^-1, 1]],
+        # T_{s+1}^-1 = [[T^-1, -T^-1 u / delta], [0, 1/delta]]
+        itl_p = _at(st.itl, p)
+        new_row = jnp.where(iR == s, 1.0, -(c_new @ itl_p))
+        itl_p = jax.lax.dynamic_update_slice(itl_p, new_row[None, :], (s, z))
+        itl = jax.lax.dynamic_update_slice(st.itl, itl_p[None], (p, z, z))
+        itt_p = _at(st.itt, p)
+        new_col = jnp.where(iR == s, 1.0 / pivot, -(itt_p @ u_new) / pivot)
+        itt_p = jax.lax.dynamic_update_slice(itt_p, new_col[:, None], (z, s))
+        itt = jax.lax.dynamic_update_slice(st.itt, itt_p[None], (p, z, z))
+
         # raw fibers into cores (dmrgg.f90:662-685)
         cores_p = jax.lax.dynamic_update_slice(_at(st.cores, p), acol[:, :, None], (z, z, s))
         cores_p1 = jax.lax.dynamic_update_slice(_at(st.cores, p + 1), arow[None, :, :], (s, z, z))
@@ -429,8 +442,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         # left rows: row factor of bond p-1 on core p gains the new column
         # with the bond p-1 L-solve applied (dmrgg.f90:715-728)
         def left_rows(rowf):
-            lu_prev = _lu_at(st, jnp.maximum(p - 1, 0))
-            slice_ = lulib.solve_rows(lu_prev, st.rk[p], acol)   # (R, N)
+            slice_ = _at(st.itl, jnp.maximum(p - 1, 0)) @ acol   # L^-1 acol, (R, N)
             rowf_p = jax.lax.dynamic_update_slice(_at(rowf, p), slice_[:, :, None], (z, z, s))
             return jax.lax.dynamic_update_slice(rowf, rowf_p[None], (p, z, z, z))
 
@@ -439,8 +451,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         # right cols: col factor of bond p+1 on core p+1 gains the new row
         # with the bond p+1 T-solve applied (dmrgg.f90:730-749)
         def right_cols(colf):
-            lu_next = _lu_at(st, jnp.minimum(p + 1, d - 2))
-            slice_ = lulib.solve_cols(lu_next, st.rk[p + 2], arow)  # (N, R)
+            slice_ = arow @ _at(st.itt, jnp.minimum(p + 1, d - 2))  # arow T^-1, (N, R)
             colf_p1 = jax.lax.dynamic_update_slice(_at(colf, p + 1), slice_[None, :, :], (s, z, z))
             return jax.lax.dynamic_update_slice(colf, colf_p1[None], (p + 1, z, z, z))
 
@@ -451,7 +462,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         pivotmin = jnp.where(st.pivotmin < 0, apiv, jnp.minimum(st.pivotmin, apiv))
         rk = st.rk.at[p + 1].add(1)
         return st._replace(cores=cores, colf=colf, rowf=rowf, rk=rk, vip=vip,
-                           lu_c=lu_c, lu_u=lu_u, lu_d=lu_d,
+                           lu_c=lu_c, lu_u=lu_u, lu_d=lu_d, itl=itl, itt=itt,
                            pivotmax=pivotmax, pivotmin=pivotmin)
 
     def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1,
@@ -527,9 +538,9 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         """LU-solved (R, R) contraction matrix of core c against weights
         w[c] (the ttqq core + dtt_lua application, dmrgg.f90:986-992)."""
         curr = jnp.einsum("inj,n->ij", _at(st.cores, c), _at(w, c))  # (R, R)
-        solved_r = lulib.solve_rows(_lu_at(st, jnp.maximum(c - 1, 0)), st.rk[c], curr)
+        solved_r = _at(st.itl, jnp.maximum(c - 1, 0)) @ curr
         curr = jnp.where(c > 0, solved_r, curr)
-        solved_c = lulib.solve_cols(_lu_at(st, jnp.minimum(c, d - 2)), st.rk[c + 1], curr)
+        solved_c = curr @ _at(st.itt, jnp.minimum(c, d - 2))
         return jnp.where(c < d - 1, solved_c, curr)
 
     @jax.jit
@@ -604,9 +615,9 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
         def one(c, cores):
             g = _at(st.cores, c)
-            solved = lulib.solve_rows(_lu_at(st, jnp.maximum(c - 1, 0)), st.rk[c], g)
+            solved = jnp.einsum("ab,bnj->anj", _at(st.itl, jnp.maximum(c - 1, 0)), g)
             g = jnp.where(c > 0, solved, g)
-            solved = lulib.solve_cols(_lu_at(st, jnp.minimum(c, d - 2)), st.rk[c + 1], g)
+            solved = g @ _at(st.itt, jnp.minimum(c, d - 2))
             g = jnp.where(c < d - 1, solved, g)
             return jax.lax.dynamic_update_slice(
                 cores, g[None], (jnp.asarray(c, jnp.int32),) + (jnp.int32(0),) * 3)

@@ -30,6 +30,8 @@ class CrossState(NamedTuple):
     lu_c: jax.Array    # (d-1, R, R) growing-LU col borders
     lu_u: jax.Array    # (d-1, R, R) growing-LU row borders
     lu_d: jax.Array    # (d-1, R)    growing-LU pivots
+    itl: jax.Array     # (d-1, R, R) maintained L^-1 (unit-lower inverse)
+    itt: jax.Array     # (d-1, R, R) maintained T^-1 (upper inverse)
     amax: jax.Array    # () max |sample| seen
     pivotmax: jax.Array       # () max accepted |pivot| this sweep (-1 = none)
     pivotmin: jax.Array       # () min accepted |pivot| this sweep (-1 = none)
@@ -47,6 +49,8 @@ def empty_state(d: int, N: int, R: int, key, dtype=jnp.float64) -> CrossState:
         lu_c=jnp.zeros((d - 1, R, R), dtype),
         lu_u=jnp.zeros((d - 1, R, R), dtype),
         lu_d=jnp.ones((d - 1, R), dtype),
+        itl=jnp.broadcast_to(jnp.eye(R, dtype=dtype), (d - 1, R, R)),
+        itt=jnp.broadcast_to(jnp.eye(R, dtype=dtype), (d - 1, R, R)),
         amax=jnp.zeros((), dtype),
         pivotmax=jnp.full((), -1.0, dtype),
         pivotmin=jnp.full((), -1.0, dtype),

@@ -146,14 +146,27 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
                 bz = jnp.asarray(b, jnp.int32)
                 z = jnp.int32(0)
                 s = st.rk[b + 1].astype(jnp.int32)
+                c_new = TF[b, :R]
+                u_new = TF[b, R:2 * R]
+                pivot = TF[b, 2 * R]
                 vip = jax.lax.dynamic_update_slice(st.vip, TI[b, 1:5][None, None, :], (bz, s, z))
-                lu_c = jax.lax.dynamic_update_slice(st.lu_c, TF[b, :R][None, None, :], (bz, s, z))
-                lu_u = jax.lax.dynamic_update_slice(st.lu_u, TF[b, R:2 * R][None, None, :], (bz, s, z))
-                lu_d = jax.lax.dynamic_update_slice(st.lu_d, TF[b, 2 * R][None, None], (bz, s))
-                apiv = jnp.abs(TF[b, 2 * R])
+                lu_c = jax.lax.dynamic_update_slice(st.lu_c, c_new[None, None, :], (bz, s, z))
+                lu_u = jax.lax.dynamic_update_slice(st.lu_u, u_new[None, None, :], (bz, s, z))
+                lu_d = jax.lax.dynamic_update_slice(st.lu_d, pivot[None, None], (bz, s))
+                # replay the maintained inverse recurrences too
+                itl_b = _at(st.itl, bz)
+                new_row = jnp.where(iR == s, 1.0, -(c_new @ itl_b))
+                itl_b = jax.lax.dynamic_update_slice(itl_b, new_row[None, :], (s, z))
+                itl = jax.lax.dynamic_update_slice(st.itl, itl_b[None], (bz, z, z))
+                itt_b = _at(st.itt, bz)
+                new_col = jnp.where(iR == s, 1.0 / pivot, -(itt_b @ u_new) / pivot)
+                itt_b = jax.lax.dynamic_update_slice(itt_b, new_col[:, None], (z, s))
+                itt = jax.lax.dynamic_update_slice(st.itt, itt_b[None], (bz, z, z))
+                apiv = jnp.abs(pivot)
                 pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
                 pivotmin = jnp.where(st.pivotmin < 0, apiv, jnp.minimum(st.pivotmin, apiv))
                 return st._replace(vip=vip, lu_c=lu_c, lu_u=lu_u, lu_d=lu_d,
+                                   itl=itl, itt=itt,
                                    rk=st.rk.at[b + 1].add(1),
                                    pivotmax=pivotmax, pivotmin=pivotmin)
 
@@ -186,7 +199,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
             rtab = right_table(st.vip, bR, d)
             fiber, amax, neval = kit.eval_col_fiber(st, bR, ltab, rtab, kk, qq)
             st = st._replace(amax=amax, neval=neval)
-            slc = lulib.solve_rows(_lu_at(st, jnp.maximum(bR - 1, 0)), st.rk[bR], fiber)
+            slc = _at(st.itl, jnp.maximum(bR - 1, 0)) @ fiber
             s = (st.rk[bR + 1] - 1).astype(jnp.int32)
             rowf_b = jax.lax.dynamic_update_slice(_at(st.rowf, bR), slc[:, :, None], (z, z, s))
             rowf = jax.lax.dynamic_update_slice(st.rowf, rowf_b[None], (bR, z, z, z))
@@ -207,7 +220,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
             s = (st.rk[c0] - 1).astype(jnp.int32)
             cores_c = jax.lax.dynamic_update_slice(_at(st.cores, c0), fiber[None], (s, z, z))
             cores = jax.lax.dynamic_update_slice(st.cores, cores_c[None], (c0, z, z, z))
-            slc = lulib.solve_cols(_lu_at(st, c0), st.rk[c0 + 1], fiber)
+            slc = fiber @ _at(st.itt, c0)
             colf_c = jax.lax.dynamic_update_slice(_at(st.colf, c0), slc[None], (s, z, z))
             colf = jax.lax.dynamic_update_slice(st.colf, colf_c[None], (c0, z, z, z))
             return st._replace(cores=cores, colf=colf)
