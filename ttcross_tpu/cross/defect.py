@@ -34,56 +34,72 @@ from .engine import cross
 __all__ = ["cross_defect_corrected"]
 
 
+class _Defect:
+    """Residual integrand g = A_dd - sum of previous trains, evaluated in
+    device dd arithmetic and returned as f64 (pinned callable so the engine
+    cache keys it stably)."""
+
+    def __init__(self, fun_dd, trains):
+        self.fun_dd = fun_dd
+        self.trains = tuple(trains)
+
+    def __call__(self, ind):
+        acc = self.fun_dd(ind)
+        for t in self.trains:
+            acc = dd_sub(acc, dd_gather_tt(t, ind))
+        return dd_to_float(acc)
+
+
 def cross_defect_corrected(
     fun, fun_dd, n, weights_hi, weights_lo,
     max_rank: int = 24, max_rank2: int | None = None,
+    levels: int = 2,
     accuracy: float = 1e-13, pivoting: int = 1, key: int = 0,
     verbose: bool = False,
 ):
-    """Two-level defect-corrected cross quadrature.
+    """Multi-level defect-corrected cross quadrature.
 
     fun: f64 batched integrand (first cross).  fun_dd: the same integrand
     in device dd arithmetic (ind -> DD).  weights_*: per-mode dd
-    quadrature weights.  Returns (hi, lo, info)."""
+    quadrature weights.  levels: number of crosses (2 = classic defect
+    correction; 3 adds a second correction over A - TT1 - TT2, limited
+    by the ~1e-31 absolute noise of dd evaluation).
+    Returns (hi, lo, info)."""
     n = [int(x) for x in n]
-    d = len(n)
     max_rank2 = max_rank2 or max_rank
 
-    res1 = cross(fun, n, max_rank=max_rank, accuracy=accuracy,
-                 pivoting=pivoting, key=key, verbose=verbose)
-    tt1 = res1.tt
+    trains = []
+    nevals, ranks = [], []
+    k = key
+    for lvl in range(levels):
+        if lvl == 0:
+            f = fun
+            r = max_rank
+        else:
+            f = _Defect(fun_dd, trains)
+            r = max_rank2
+        res = cross(f, n, max_rank=r, accuracy=accuracy,
+                    pivoting=pivoting, key=k, verbose=verbose)
+        trains.append(res.tt)
+        nevals.append(res.neval)
+        ranks.append(res.ranks)
+        k = k + 1 if isinstance(k, int) else k
 
-    class _Defect:
-        """Pinned callable so the engine cache keys it stably."""
-
-        def __init__(self, tt1):
-            self.tt1 = tt1
-
-        def __call__(self, ind):
-            f = fun_dd(ind)
-            t = dd_gather_tt(self.tt1, ind)
-            return dd_to_float(dd_sub(f, t))
-
-    g = _Defect(tt1)
-    res2 = cross(g, n, max_rank=max_rank2, accuracy=accuracy,
-                 pivoting=pivoting, key=key + 1 if isinstance(key, int) else key,
-                 verbose=verbose)
-    tt2 = res2.tt
-
-    h1, l1 = native.contract_q(tt1, weights_hi, weights_lo)
-    h2, l2 = native.contract_q(tt2, weights_hi, weights_lo)
-    # dd addition of the two (hi, lo) results on host
     from decimal import Decimal, getcontext
 
     getcontext().prec = 50
-    total = Decimal(h1) + Decimal(l1) + Decimal(h2) + Decimal(l2)
+    qs = []
+    total = Decimal(0)
+    for t in trains:
+        h, l = native.contract_q(t, weights_hi, weights_lo)
+        qs.append((h, l))
+        total += Decimal(h) + Decimal(l)
     hi = float(total)
     lo = float(total - Decimal(hi))
     info = {
-        "neval1": res1.neval, "neval2": res2.neval,
-        "ranks1": res1.ranks, "ranks2": res2.ranks,
-        "defect_scale": float(np.max(np.abs(np.asarray(
-            tt2.cores[0])))) if tt2.d else 0.0,
-        "q1": (h1, l1), "q2": (h2, l2),
+        "neval1": nevals[0], "neval2": sum(nevals[1:]),
+        "nevals": nevals, "ranks": ranks,
+        "ranks1": ranks[0], "ranks2": ranks[-1],
+        "q1": qs[0], "q2": qs[-1], "qs": qs,
     }
     return hi, lo, info
