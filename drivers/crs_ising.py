@@ -17,6 +17,7 @@ import ttcross_tpu  # noqa: F401
 from ttcross_tpu.apps import make_ising
 from ttcross_tpu.cross import cross
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -41,6 +42,7 @@ def main():
     if prob.truth:
         print(f"analytic value: {prob.truth:.40e}")
         print(f"correct digits: {-np.log10(abs(1 - val / prob.truth)):7.2f}")
+    maybe_accchk(res, prob.fun)
     print("Good bye.")
 
 

@@ -12,6 +12,7 @@ import ttcross_tpu  # noqa: F401
 from ttcross_tpu.apps import make_mvn
 from ttcross_tpu.cross import cross
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -37,6 +38,7 @@ def main():
     print(f"computed value: {val:.40e}")
     print(f"analytic value: {1.0:.40e}")
     print(f"correct digits: {-np.log10(abs(1 - val)):7.2f}")
+    maybe_accchk(res, prob.fun)
     print("Good bye.")
 
 

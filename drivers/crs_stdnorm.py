@@ -12,6 +12,7 @@ import ttcross_tpu  # noqa: F401
 from ttcross_tpu.apps import make_stdnorm
 from ttcross_tpu.cross import cross
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -33,6 +34,7 @@ def main():
     print(f"computed value: {val:.40e}")
     print(f"analytic value: {prob.truth:.40e}")
     print(f"correct digits: {-np.log10(abs(1 - val / prob.truth)):7.2f}")
+    maybe_accchk(res, prob.fun)
     print("Good bye.")
 
 

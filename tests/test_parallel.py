@@ -44,3 +44,22 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_parallel_ragged_modes(rng):
+    """Per-mode sizes may differ on the mesh too."""
+    ns = (5, 7, 6, 5, 6)
+    ranks = (1, 2, 2, 2, 2, 1)
+    cores = [rng.standard_normal((ranks[i], n, ranks[i + 1]))
+             for i, n in enumerate(ns)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("bond",))
+    res = cross_parallel(fun, ns, max_rank=3, pivoting=1, accuracy=1e-12, mesh=mesh)
+    assert res.tt.n == ns
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-10

@@ -21,6 +21,22 @@ def readarg(pos: int, default, cast=None):
     return default
 
 
+def maybe_accchk(res, fun, nlot: int = 1 << 14) -> None:
+    """Randomized accuracy verification after a driver run, enabled with
+    TTCROSS_ACCCHK=1 (the dtt_accchk pattern the reference's demo used,
+    main.f90:50)."""
+    import os
+
+    if not os.environ.get("TTCROSS_ACCCHK"):
+        return
+    from ..cross.accchk import accchk
+
+    chk = accchk(res.tt, fun, nlot=nlot)
+    print(f"accchk: einf {chk['einf']:.3e} efro {chk['efro']:.3e} "
+          f"ainf {chk['ainf']:.3e} afro {chk['afro']:.3e} "
+          f"worst {chk['worst_index']}")
+
+
 def print_config(**kv) -> None:
     """Driver banner (pattern of test_crs_*.f90 config summaries)."""
     import jax
