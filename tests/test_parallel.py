@@ -63,3 +63,22 @@ def test_parallel_ragged_modes(rng):
     assert res.tt.n == ns
     approx = np.asarray(tt.full(res.tt))
     assert np.abs(approx - dense).max() < 1e-10
+
+
+@pytest.mark.parametrize("pivoting", [0, -1])
+def test_parallel_pivot_modes(rng, pivoting):
+    """Lottery-only and full pivoting also work on the mesh."""
+    d, n = 5, 5
+    ranks = (1, 2, 2, 2, 2, 1)
+    cores = [rng.standard_normal((ranks[i], n, ranks[i + 1])) for i in range(d)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("bond",))
+    res = cross_parallel(fun, [n] * d, max_rank=3, pivoting=pivoting,
+                         accuracy=1e-12, mesh=mesh)
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-10
