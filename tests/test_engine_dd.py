@@ -1,0 +1,47 @@
+"""dd pivot-selection engine tests (cross/engine_dd.py): the full mp-tier
+cross.  C_4 at rank 32 reaches ~31 digits — the dd arithmetic limit."""
+
+from decimal import Decimal, getcontext
+
+import numpy as np
+import pytest
+
+import ttcross_tpu  # noqa: F401
+from ttcross_tpu import native
+from ttcross_tpu.apps.ising import make_ising_dd
+from ttcross_tpu.apps.truths import ISING_C_STR
+from ttcross_tpu.cross.engine_dd import cross_dd
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
+
+
+def _digits(value, tru_str):
+    getcontext().prec = 60
+    got = Decimal(value[0]) + Decimal(value[1])
+    rel = abs(1 - got / Decimal(tru_str))
+    return float(-rel.log10()) if rel != 0 else 60.0
+
+
+def test_dd_engine_c4_beyond_f64():
+    """C_4 at rank 16: ~18 digits — already past the f64 ceiling."""
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=33)
+    res = cross_dd(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=16, pivoting=1)
+    digits = _digits(res.value, ISING_C_STR[4])
+    assert digits >= 16, digits
+
+
+@pytest.mark.slow
+def test_dd_engine_c4_full_precision():
+    """C_4 at n=65 rank 32: ~31 digits (dd arithmetic limit; measured 31.1)."""
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=65)
+    res = cross_dd(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=32, pivoting=1)
+    digits = _digits(res.value, ISING_C_STR[4])
+    assert digits >= 28, digits
+
+
+@pytest.mark.slow
+def test_dd_engine_c6():
+    prob, fun_dd, wh, wl = make_ising_dd(m=6, n=65)
+    res = cross_dd(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=48, pivoting=1)
+    digits = _digits(res.value, ISING_C_STR[6])
+    assert digits >= 17, digits
