@@ -227,17 +227,24 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
 
         return jax.lax.cond(do_l, fix_left, lambda s: s, st)
 
+    def _gmax(x):
+        # max-reduce via all_gather: some TPU backends lower only SUM
+        # all-reduces, so lax.pmax is not portable there
+        return jnp.max(jax.lax.all_gather(x, BOND_AXIS))
+
+    def _gmin(x):
+        return jnp.min(jax.lax.all_gather(x, BOND_AXIS))
+
     def psweep(st: CrossState, it, own_lo, own_hi):
         st, tape_i, tape_f = local_sweep(st, it, own_lo, own_hi)
         TI = jax.lax.psum(tape_i, BOND_AXIS)   # per-bond rows are disjoint
         TF = jax.lax.psum(tape_f, BOND_AXIS)
         st = replay(st, TI, TF, own_lo, own_hi)
         st = fixup(st, TI, own_lo, own_hi)
-        amax = jax.lax.pmax(st.amax, BOND_AXIS)
-        pivotmax = jax.lax.pmax(st.pivotmax, BOND_AXIS)
+        amax = _gmax(st.amax)
+        pivotmax = _gmax(st.pivotmax)
         pmin_in = jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin)
-        pivotmin = jax.lax.pmin(pmin_in, BOND_AXIS)
-        pivotmin = jnp.where(jnp.isinf(pivotmin), -1.0, pivotmin)
+        pivotmin = jnp.where(jnp.isinf(_gmin(pmin_in)), -1.0, _gmin(pmin_in))
         return st._replace(amax=amax, pivotmax=pivotmax, pivotmin=pivotmin,
                            pivotmax_prev=pivotmax)
 
