@@ -58,3 +58,24 @@ def test_quantics_integral():
     # mean of sin(2 pi x) + 0.5 cos(6 pi x) over the dyadic grid is ~0 (exact
     # cancellation of full periods on a power-of-two grid)
     assert abs(res.values[-1]) < 1e-10
+
+
+def test_quantics_2d():
+    """Two coordinates interleaved over 2x8 binary modes (dd=2 of
+    tt.value; dtt_value's multi-coordinate mode, tt.f90:702-728)."""
+    K = 8  # bits per coordinate
+    d = 2 * K
+    powsx = jnp.asarray(2.0 ** -(K - np.arange(K)))
+
+    def fun(ind):
+        ind = jnp.asarray(ind, jnp.float64)
+        x = ind[:, :K] @ powsx
+        y = ind[:, K:] @ powsx
+        return jnp.sin(2 * np.pi * x) * jnp.cos(2 * np.pi * y)
+
+    res = cross(fun, [2] * d, max_rank=6, pivoting=1, accuracy=1e-12,
+                small_pivot=1e-14)
+    xs = np.stack([np.arange(16) / 16.0, np.arange(16)[::-1] / 16.0], axis=1)
+    got = np.asarray(tt.value(res.tt, jnp.asarray(xs), dd=2))
+    tru = np.sin(2 * np.pi * xs[:, 0]) * np.cos(2 * np.pi * xs[:, 1])
+    np.testing.assert_allclose(got, tru, atol=1e-8)
