@@ -92,19 +92,6 @@ def _contract_real(cores, ws):
     return v[0]
 
 
-@jax.jit
-def _contract_pair(cores_r, cores_i, ws_r, ws_i):
-    """Complex chain contraction as real/imag pairs (TPU has no complex)."""
-    rt = cores_r[0].dtype
-    vr = jnp.ones((1,), dtype=rt)
-    vi = jnp.zeros((1,), dtype=rt)
-    for gr, gi, wr, wi in zip(cores_r, cores_i, ws_r, ws_i):
-        mr = jnp.einsum("inj,n->ij", gr, wr) - jnp.einsum("inj,n->ij", gi, wi)
-        mi = jnp.einsum("inj,n->ij", gr, wi) + jnp.einsum("inj,n->ij", gi, wr)
-        vr, vi = vr @ mr - vi @ mi, vr @ mi + vi @ mr
-    return vr[0], vi[0]
-
-
 def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     """Full contraction against per-mode weight vectors (local part of
     dtt_quad, dmrgg.f90:1323-1345).  weights=None sums all entries
@@ -114,28 +101,20 @@ def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     if weights is not None:
         dt = jnp.result_type(dt, *[jnp.asarray(w).dtype for w in weights])
     if jnp.issubdtype(dt, jnp.complexfloating):
-        # complex contraction in explicit real/imag pair arithmetic: TPU
-        # hardware has no complex dtype support (ztt_quad equivalent).
-        # Real/imag are split on HOST — even creating a C128 device array
-        # fails on TPU.
+        # complex contraction runs on HOST in native numpy: TPU hardware has
+        # no complex dtype (ztt_quad equivalent), and the contraction is
+        # O(d r^2 n) post-processing work — microseconds on CPU
         import numpy as _np
 
-        rt = jnp.float64 if dt == jnp.complex128 else jnp.float32
-
-        def _split(x):
-            x = _np.asarray(x)
-            if _np.iscomplexobj(x):
-                return (jnp.asarray(x.real, rt), jnp.asarray(x.imag, rt))
-            a = jnp.asarray(x, rt)
-            return (a, jnp.zeros_like(a))
-
-        if weights is None:
-            weights = [_np.ones(ni) for ni in t.n]
-        cr, ci = zip(*[_split(g) for g in t.cores])
-        wr, wi = zip(*[_split(w) for w in weights])
-        vr, vi = _contract_pair(cr, ci, wr, wi)
-        # combine on host: creating complex arrays on TPU is unsupported
-        return _np.asarray(vr)[()] + 1j * _np.asarray(vi)[()]
+        v = _np.ones((1,), dtype=_np.complex128)
+        for c in range(t.d):
+            g = _np.asarray(t.cores[c]).astype(_np.complex128)
+            if weights is None:
+                m = g.sum(axis=1)
+            else:
+                m = _np.einsum("inj,n->ij", g, _np.asarray(weights[c], _np.complex128))
+            v = v @ m
+        return v[0]
     if weights is None:
         ws = tuple(jnp.ones((ni,), dt) for ni in t.n)
     else:
