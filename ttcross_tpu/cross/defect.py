@@ -23,10 +23,6 @@ The integrand must supply a device-dd evaluation fun_dd(ind) -> DD.
 
 from __future__ import annotations
 
-import numpy as np
-
-import jax.numpy as jnp
-
 from .. import native
 from ..ops.dd import DD, dd_gather_tt, dd_sub, dd_to_float
 from .engine import cross

@@ -20,7 +20,6 @@ more orders of magnitude)."""
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 from typing import Callable, NamedTuple, Sequence
 
@@ -28,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.dd import DD, dd, dd_add, dd_div, dd_mul, dd_neg, dd_sub, dd_sum
+from ..ops.dd import DD, dd, dd_div, dd_mul, dd_neg, dd_sub, dd_sum
 from .chains import (advance_left, advance_right, all_left_tables,
                      all_right_tables, assemble_indices)
 
