@@ -15,6 +15,7 @@ from ttcross_tpu.apps import CHF_REFERENCE, make_mvn
 from ttcross_tpu.apps.chf import basket_chf
 from ttcross_tpu.cross import cross
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -28,6 +29,7 @@ def main():
     acc = 500 * np.finfo(np.float64).eps
     print("   Running TT-cross...")
     res = cross(prob.fun, [prob.n] * d, max_rank=rank, accuracy=acc, pivoting=piv)
+    maybe_accchk(res, prob.fun)
     print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
 
     print("   Preparing quadrature tensor...")

@@ -15,6 +15,7 @@ from ttcross_tpu.apps import make_cos_coefficients, make_mvn_density
 from ttcross_tpu.cross import cross
 from ttcross_tpu.tt.serialize import save_hdf5
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -32,6 +33,7 @@ def main():
 
     res = cross(cc.fun, [n] * d, max_rank=rank, accuracy=acc, pivoting=piv,
                 verbose=True)
+    maybe_accchk(res, cc.fun)
     print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
 
     os.makedirs("out", exist_ok=True)

@@ -14,6 +14,7 @@ import ttcross_tpu.tt as tt
 from ttcross_tpu.apps import make_mvn
 from ttcross_tpu.cross import cross
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -26,6 +27,7 @@ def main():
     print_config(dimension=d, quadratur=prob.n, TT_ranks=rank, pivoting=piv)
     acc = 500 * np.finfo(np.float64).eps
     res = cross(prob.fun, [prob.n] * d, max_rank=rank, accuracy=acc, pivoting=piv)
+    maybe_accchk(res, prob.fun)
     print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
 
     # complex contraction path with complex unit weights (dtt -> ztt

@@ -17,6 +17,7 @@ from ttcross_tpu.apps.chf import basket_pdf
 from ttcross_tpu.cross import cross
 from ttcross_tpu.tt.serialize import save_hdf5, save_ttbin
 from ttcross_tpu.utils import print_config, readarg
+from ttcross_tpu.utils.cli import maybe_accchk
 
 
 def main():
@@ -29,6 +30,7 @@ def main():
     print_config(dimension=d, quadratur=prob.n, TT_ranks=rank, pivoting=piv)
     acc = 500 * np.finfo(np.float64).eps
     res = cross(prob.fun, [prob.n] * d, max_rank=rank, accuracy=acc, pivoting=piv)
+    maybe_accchk(res, prob.fun)
     print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
 
     os.makedirs("out", exist_ok=True)

@@ -27,7 +27,7 @@ def maybe_accchk(res, fun, nlot: int = 1 << 14) -> None:
     main.f90:50)."""
     import os
 
-    if not os.environ.get("TTCROSS_ACCCHK"):
+    if os.environ.get("TTCROSS_ACCCHK", "").lower() in ("", "0", "false", "no", "off"):
         return
     from ..cross.accchk import accchk
 
