@@ -11,10 +11,11 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_driver(name, *args, timeout=600):
+def run_driver(name, *args, timeout=600, extra_env=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = ROOT
+    env.update(extra_env or {})
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "drivers", name), *map(str, args)],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=ROOT,
@@ -36,8 +37,10 @@ def test_print_cos_coeff():
 
 @pytest.mark.slow
 def test_crs_stdnorm_driver():
-    out = run_driver("crs_stdnorm.py", 4, 33, 4, 1)
+    # TTCROSS_ACCCHK=1 also exercises the post-run randomized accuracy check
+    out = run_driver("crs_stdnorm.py", 4, 33, 4, 1, extra_env={"TTCROSS_ACCCHK": "1"})
     assert "correct digits" in out
+    assert "accchk:" in out
 
 
 @pytest.mark.slow
