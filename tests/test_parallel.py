@@ -65,6 +65,28 @@ def test_parallel_ragged_modes(rng):
     assert np.abs(approx - dense).max() < 1e-10
 
 
+def test_parallel_mybonds(rng):
+    """Caller-provided slab boundaries (the reference's mybonds argument,
+    dmrgg.f90:22, 120-131) replace the block share distribution."""
+    d, n = 6, 5
+    ranks = (1, 2, 3, 2, 2, 2, 1)
+    cores = [rng.standard_normal((ranks[i], n, ranks[i + 1])) for i in range(d)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("bond",))
+    # uneven custom slabs: device 0 owns bond 0, device 1 owns bonds 1..4
+    res = cross_parallel(fun, [n] * d, max_rank=4, pivoting=1, accuracy=1e-12,
+                         mesh=mesh, mybonds=[0, 1, 5])
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-10
+    with pytest.raises(ValueError):
+        cross_parallel(fun, [n] * d, max_rank=4, mesh=mesh, mybonds=[0, 5])
+
+
 @pytest.mark.parametrize("pivoting", [0, -1])
 def test_parallel_pivot_modes(rng, pivoting):
     """Lottery-only and full pivoting also work on the mesh."""

@@ -69,15 +69,18 @@ class MvnProblem:
     truth: float
 
     def fun(self, ind):
-        x = jnp.asarray(self.nodes)[ind]
+        from ..ops.dense import table_lookup
+
+        x = table_lookup(self.nodes, ind)   # exact MXU one-hot lookup
         return self.density.pdf(x)
 
 
-def make_mvn(d: int = 6, n: int = 65, r: float = 0.0, T: float = 1.0) -> MvnProblem:
+def make_mvn(d: int = 6, n: int = 65, r: float = 0.0, T: float = 1.0,
+             sigma: float = 0.4, corr: float = 0.5) -> MvnProblem:
     if n % 2 == 0:
         n += 1
     a, b = MVN_BOX
     x, w = lgwt(n)
     x, w = map_to_interval(x, w, a, b)
     return MvnProblem(d=d, n=n, nodes=x, quad_weights=w,
-                      density=make_mvn_density(d, r, T), truth=1.0)
+                      density=make_mvn_density(d, r, T, sigma, corr), truth=1.0)

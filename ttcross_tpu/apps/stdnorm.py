@@ -26,7 +26,9 @@ class StdnormProblem:
     truth: float
 
     def fun(self, ind):
-        x = jnp.asarray(self.nodes)[ind]      # (B, d)
+        from ..ops.dense import table_lookup
+
+        x = table_lookup(self.nodes, ind)     # (B, d); exact MXU one-hot lookup
         return jnp.exp(-jnp.sum(x * x, axis=1))
 
 

@@ -67,6 +67,7 @@ class EngineKit(NamedTuple):
     eval_row_fiber: Callable
     init_neval: int
     finalize_fn: Callable = None
+    make_full_fn: Callable = None
 
 
 @dataclass
@@ -210,14 +211,29 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         return arow - approx
 
     def _masked_argmax2(x, mask):
+        # two-stage argmax instead of flat argmax + divmod decode: integer
+        # division by a non-power-of-2 lowers to bit-serial loops on TPU
         score = jnp.where(mask, jnp.abs(x), -1.0)
-        flat = jnp.argmax(score.reshape(-1))
-        return flat // x.shape[1], flat % x.shape[1]
+        i = jnp.argmax(jnp.max(score, axis=1))
+        j = jnp.argmax(jax.lax.dynamic_index_in_dim(score, i, 0, keepdims=False))
+        return i, j
 
-    def _hunt_lottery(st: CrossState, p, ltab, rtab):
+    def _decode_div(lin, den: int):
+        """(lin // den, lin % den) for 0 <= lin < 2^20 without integer
+        division (TPU-emulated bit-serial): exact f64 floor with a +1/2
+        offset to clear representation error at exact multiples."""
+        q = jnp.floor((lin.astype(jnp.float64) + 0.5) * (1.0 / den)).astype(lin.dtype)
+        return q, lin - q * den
+
+    def _hunt_lottery(st: CrossState, p, ltab, rtab, u2):
         """Weighted lottery over candidate rows/cols (lottery2, rnd.f90:105-126;
-        dmrgg.f90:410-487), residual scoring, seed pivot."""
-        key, sub1, sub2 = jax.random.split(st.key, 3)
+        dmrgg.f90:410-487), residual scoring, seed pivot.
+
+        u2 (2, NLOT) f64 in [0,1): pre-drawn uniforms (one PRNG call per
+        sweep; a per-visit randint with a traced bound lowers to u64
+        dynamic-modulo = bit-serial division loops on TPU).  Inverse-CDF
+        draw over the allowed set, exactly lottery2's real-valued scheme
+        (find_d, rnd.f90:128-144)."""
         dt = st.cores.dtype
 
         # layouts: columns (i, j) flattened i*N + j; rows (q, k) flattened q*N + k
@@ -234,14 +250,14 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         # lottery weights are uniform (lottery2 with 0/1 weights,
         # dmrgg.f90:424-439), so Gumbel sampling would waste ~R*N f64
         # transcendentals per draw
-        cdf_c = jnp.cumsum(wcol.astype(jnp.int32))
-        cdf_r = jnp.cumsum(wrow.astype(jnp.int32))
-        u_c = jax.random.randint(sub1, (NLOT,), 0, jnp.maximum(cdf_c[-1], 1))
-        u_r = jax.random.randint(sub2, (NLOT,), 0, jnp.maximum(cdf_r[-1], 1))
-        lin_c = jnp.searchsorted(cdf_c, u_c, side="right").astype(jnp.int_)
-        lin_r = jnp.searchsorted(cdf_r, u_r, side="right").astype(jnp.int_)
-        i_c, j_c = lin_c // N, lin_c % N
-        q_c, k_c = lin_r // N, lin_r % N
+        cdf_c = jnp.cumsum(wcol.astype(jnp.float64))
+        cdf_r = jnp.cumsum(wrow.astype(jnp.float64))
+        t_c = u2[0] * jnp.maximum(cdf_c[-1], 1.0)
+        t_r = u2[1] * jnp.maximum(cdf_r[-1], 1.0)
+        lin_c = jnp.searchsorted(cdf_c, t_c, side="right").astype(jnp.int_)
+        lin_r = jnp.searchsorted(cdf_r, t_r, side="right").astype(jnp.int_)
+        i_c, j_c = _decode_div(lin_c, N)
+        q_c, k_c = _decode_div(lin_r, N)
 
         nlot_act = st.rk[p] + n_arr[p] + n_arr[p + 1] + st.rk[p + 2]
         candmask = jnp.arange(NLOT) < nlot_act
@@ -252,83 +268,107 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         neval = st.neval + nlot_act.astype(jnp.int64)
 
         # residual b - colf[p][i,j,:] . rowf[p+1][:,k,q]  (dmrgg.f90:469-476)
+        # batched factor rows via exact one-hot MXU lookups (TPU gathers
+        # are the slow path; see ops.dense.table_lookup)
+        from ..ops.dense import row_lookup
+
         rmask = (iR < st.rk[p + 1]).astype(dt)
-        cf = _at(st.colf, p)[i_c, j_c, :]                 # (NLOT, R)
-        rf = _at(st.rowf, p + 1)[:, k_c, q_c]             # (R, NLOT)
-        resid = b - jnp.sum(cf * rf.T * rmask[None, :], axis=1)
+        cf = row_lookup(_at(st.colf, p).reshape(R * N, R), lin_c)      # (NLOT, R)
+        rf = row_lookup(_at(st.rowf, p + 1).reshape(R, N * R),
+                        k_c * R + q_c, axis=1)                         # (NLOT, R)
+        resid = b - jnp.sum(cf * rf * rmask[None, :], axis=1)
         best = jnp.argmax(jnp.where(candmask, jnp.abs(resid), -1.0))
-        st = st._replace(amax=amax, neval=neval, key=key)
+        st = st._replace(amax=amax, neval=neval)
         return st, (i_c[best], j_c[best], k_c[best], q_c[best]), resid[best]
 
     def _rook(st: CrossState, p, ltab, rtab, seed, pivot0, dir_fwd):
         """Rook pivoting (dmrgg.f90:515-582): alternate column/row
-        maximization until stationary or crs >= 2 piv."""
+        maximization until stationary or crs >= 2 piv.
+
+        The reference's `do while` is UNROLLED into 2*piv straight-line
+        masked passes: for a fixed budget the dynamic loop executes exactly
+        2*piv passes unless it goes stationary early, and on TPU the
+        while_loop + nested-cond version pays per-iteration sync overhead
+        that dwarfs the (tiny) pass math.  A pass whose `done` flag is set
+        contributes nothing: state and n_evals are frozen by masking, so
+        results and evaluation counts are identical to the dynamic loop."""
         ii0, jj0, kk0, qq0 = seed
         dt = st.cores.dtype
         acol0 = jnp.zeros((R, N), dt)
         arow0 = jnp.zeros((N, R), dt)
-        # carry: ii jj kk qq pivot acol arow havecol haverow crs done skipcol amax neval
-        carry0 = (ii0, jj0, kk0, qq0, pivot0, acol0, arow0,
-                  jnp.asarray(False), jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                  jnp.asarray(False), ~dir_fwd, st.amax, st.neval)
+        false = jnp.asarray(False)
+        # carry: ii jj kk qq pivot acol arow havecol haverow crs done amax neval
+        c = dict(ii=ii0, jj=jj0, kk=kk0, qq=qq0, pivot=pivot0, acol=acol0,
+                 arow=arow0, havecol=false, haverow=false,
+                 crs=jnp.asarray(0, jnp.int32), done=false,
+                 amax=st.amax, neval=st.neval)
 
-        def col_pass(c):
-            (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval) = c
-            stv = st._replace(amax=amax, neval=neval)
-            acol, amax, neval = _eval_col_fiber(stv, p, ltab, rtab, kk, qq)
+        def sel(live, new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(live, a, b), new, old)
+
+        def col_pass(c, force_dead=None):
+            live = ~c["done"]
+            if force_dead is not None:
+                live = live & ~force_dead
+            stv = st._replace(amax=c["amax"], neval=jnp.int64(0))
+            acol, amax, dnev = _eval_col_fiber(stv, p, ltab, rtab, c["kk"], c["qq"])
             havecol = jnp.asarray(True)
-            crs = crs + 1
-            done = havecol & haverow & (crs >= 2 * cfg.piv)
+            crs = c["crs"] + 1
+            budget = havecol & c["haverow"] & (crs >= 2 * cfg.piv)
+            bcol = _col_residual(st, p, acol, c["kk"], c["qq"])
+            mask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
+            i2, j2 = _masked_argmax2(bcol, mask)
+            stat = havecol & c["haverow"] & (i2 == c["ii"]) & (j2 == c["jj"])
+            upd = ~budget
+            new = dict(ii=jnp.where(upd, i2, c["ii"]),
+                       jj=jnp.where(upd, j2, c["jj"]),
+                       kk=c["kk"], qq=c["qq"],
+                       pivot=jnp.where(upd, bcol[i2, j2], c["pivot"]),
+                       acol=acol, arow=c["arow"], havecol=havecol,
+                       haverow=c["haverow"], crs=crs,
+                       done=budget | (upd & stat),
+                       amax=amax, neval=c["neval"] + dnev)
+            return sel(live, new, c)
 
-            def upd(args):
-                ii, jj, pivot = args
-                bcol = _col_residual(st, p, acol, kk, qq)
-                mask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
-                i2, j2 = _masked_argmax2(bcol, mask)
-                stat = havecol & haverow & (i2 == ii) & (j2 == jj)
-                return i2, j2, bcol[i2, j2], stat
-
-            ii, jj, pivot, stat = jax.lax.cond(
-                done, lambda a: (a[0], a[1], a[2], jnp.asarray(False)), upd, (ii, jj, pivot))
-            done = done | stat
-            return (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval)
-
-        def row_pass(c):
-            (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval) = c
-            stv = st._replace(amax=amax, neval=neval)
-            arow, amax, neval = _eval_row_fiber(stv, p, ltab, rtab, ii, jj)
+        def row_pass(c, force_dead=None):
+            live = ~c["done"]
+            if force_dead is not None:
+                live = live & ~force_dead
+            stv = st._replace(amax=c["amax"], neval=jnp.int64(0))
+            arow, amax, dnev = _eval_row_fiber(stv, p, ltab, rtab, c["ii"], c["jj"])
             haverow = jnp.asarray(True)
-            crs = crs + 1
-            done = havecol & haverow & (crs >= 2 * cfg.piv)
+            crs = c["crs"] + 1
+            budget = c["havecol"] & haverow & (crs >= 2 * cfg.piv)
+            brow = _row_residual(st, p, arow, c["ii"], c["jj"])
+            mask = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
+            k2, q2 = _masked_argmax2(brow, mask)
+            stat = c["havecol"] & haverow & (k2 == c["kk"]) & (q2 == c["qq"])
+            upd = ~budget
+            new = dict(ii=c["ii"], jj=c["jj"],
+                       kk=jnp.where(upd, k2, c["kk"]),
+                       qq=jnp.where(upd, q2, c["qq"]),
+                       pivot=jnp.where(upd, brow[k2, q2], c["pivot"]),
+                       acol=c["acol"], arow=arow, havecol=c["havecol"],
+                       haverow=haverow, crs=crs,
+                       done=budget | (upd & stat),
+                       amax=amax, neval=c["neval"] + dnev)
+            return sel(live, new, c)
 
-            def upd(args):
-                kk, qq, pivot = args
-                brow = _row_residual(st, p, arow, ii, jj)
-                mask = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
-                k2, q2 = _masked_argmax2(brow, mask)
-                stat = havecol & haverow & (k2 == kk) & (q2 == qq)
-                return k2, q2, brow[k2, q2], stat
-
-            kk, qq, pivot, stat = jax.lax.cond(
-                done, lambda a: (a[0], a[1], a[2], jnp.asarray(False)), upd, (kk, qq, pivot))
-            done = done | stat
-            return (ii, jj, kk, qq, pivot, acol, arow, havecol, haverow, crs, done, skipcol, amax, neval)
-
-        def body(c):
-            skipcol = c[11]
-            c = jax.lax.cond(skipcol, lambda x: x, col_pass, c)
-            c = c[:11] + (jnp.asarray(False),) + c[12:]
-            done = c[10]
-            c = jax.lax.cond(done, lambda x: x, row_pass, c)
-            return c
-
-        def cond(c):
-            return ~c[10]
-
-        out = jax.lax.while_loop(cond, body, carry0)
-        (ii, jj, kk, qq, pivot, acol, arow, *_rest, amax, neval) = out
-        st = st._replace(amax=amax, neval=neval)
-        return st, (ii, jj, kk, qq), pivot, acol, arow
+        # '>>' sweeps: col,row,col,row,...; '<<' sweeps skip the leading col
+        # (skipcol, dmrgg.f90:517) -> row,col,row,...  2*piv passes total in
+        # both directions.  Rather than a lax.cond on the direction (whose
+        # branches capture the multi-MB factors by value -> dominant buffer
+        # copies in traces), a single straight-line sequence of 2*piv+1
+        # passes handles both: the leading row pass is live only on '<<'
+        # sweeps, and the crs budget masking (done flag) kills the trailing
+        # surplus pass in whichever direction reaches 2*piv passes first.
+        c = row_pass(c, force_dead=dir_fwd)
+        for _ in range(cfg.piv):
+            c = col_pass(c)
+            c = row_pass(c)
+        st = st._replace(amax=c["amax"], neval=c["neval"])
+        return st, (c["ii"], c["jj"], c["kk"], c["qq"]), c["pivot"], c["acol"], c["arow"]
 
     def _hunt_piv0(st, p, ltab, rtab, seed, pivot0):
         """piv = 0: evaluate the seed's full column and row once
@@ -389,13 +429,22 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         arow = vals[ii, jj, :, :]
         return st, (ii, jj, kk, qq), pivot, acol, arow
 
-    def _accept(st: CrossState, p, piv_idx, pivot, acol, arow, own_lo, own_hi) -> CrossState:
+    def _accept(st: CrossState, p, piv_idx, pivot, acol, arow, own_lo, own_hi,
+                upd) -> CrossState:
         """Append the accepted pivot: extend vip / LU / cores / factors
         (dmrgg.f90:602-757).  own_lo/own_hi bound the locally-owned bond slab
         (whole train on a single device): cross-slab factor slices are
         skipped here and handled by the boundary fixup, mirroring the
         reference's `p > own(me)` / `p < own(me+1)-1` guards
-        (dmrgg.f90:715, 730)."""
+        (dmrgg.f90:715, 730).
+
+        `upd` masks the whole accept: every slab write selects between the
+        new border and the existing content of its target slot, so a
+        rejected pivot leaves the state bit-identical.  This replaces a
+        lax.cond — conditionals take the multi-MB state by value, and the
+        resulting buffer copies dominated the sweep (70% in traces); with
+        straight-line masked updates XLA keeps the dynamic-update-slices
+        in place."""
         ii, jj, kk, qq = piv_idx
         dt = st.cores.dtype
         p = jnp.asarray(p, jnp.int32)
@@ -403,69 +452,83 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         s = st.rk[p + 1].astype(jnp.int32)
         rmask = (iR < s).astype(dt)
 
-        vip = jax.lax.dynamic_update_slice(
-            st.vip, jnp.stack([ii, jj, kk, qq]).astype(jnp.int32)[None, None, :], (p, s, z))
+        def dus(buf, new, old, idx):
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.where(upd, new, old), idx)
+
+        vip_old = jax.lax.dynamic_slice(st.vip, (p, s, z), (1, 1, 4))
+        vip = dus(st.vip, jnp.stack([ii, jj, kk, qq]).astype(jnp.int32)[None, None, :],
+                  vip_old, (p, s, z))
 
         c_new = _at(st.colf, p)[ii, jj, :] * rmask
         u_new = _at(st.rowf, p + 1)[:, kk, qq] * rmask
-        lu_c = jax.lax.dynamic_update_slice(st.lu_c, c_new[None, None, :], (p, s, z))
-        lu_u = jax.lax.dynamic_update_slice(st.lu_u, u_new[None, None, :], (p, s, z))
-        lu_d = jax.lax.dynamic_update_slice(st.lu_d, pivot[None, None], (p, s))
+        lu_c = dus(st.lu_c, c_new[None, None, :],
+                   jax.lax.dynamic_slice(st.lu_c, (p, s, z), (1, 1, R)), (p, s, z))
+        lu_u = dus(st.lu_u, u_new[None, None, :],
+                   jax.lax.dynamic_slice(st.lu_u, (p, s, z), (1, 1, R)), (p, s, z))
+        lu_d = dus(st.lu_d, pivot[None, None],
+                   jax.lax.dynamic_slice(st.lu_d, (p, s), (1, 1)), (p, s))
 
         # maintained triangular inverses (bordered-inverse recurrences):
         # L_{s+1}^-1 = [[L^-1, 0], [-c L^-1, 1]],
         # T_{s+1}^-1 = [[T^-1, -T^-1 u / delta], [0, 1/delta]]
         itl_p = _at(st.itl, p)
         new_row = jnp.where(iR == s, 1.0, -(c_new @ itl_p))
-        itl_p = jax.lax.dynamic_update_slice(itl_p, new_row[None, :], (s, z))
-        itl = jax.lax.dynamic_update_slice(st.itl, itl_p[None], (p, z, z))
+        itl = dus(st.itl, new_row[None, None, :],
+                  jax.lax.dynamic_slice(st.itl, (p, s, z), (1, 1, R)), (p, s, z))
         itt_p = _at(st.itt, p)
         new_col = jnp.where(iR == s, 1.0 / pivot, -(itt_p @ u_new) / pivot)
-        itt_p = jax.lax.dynamic_update_slice(itt_p, new_col[:, None], (z, s))
-        itt = jax.lax.dynamic_update_slice(st.itt, itt_p[None], (p, z, z))
+        itt = dus(st.itt, new_col[None, :, None],
+                  jax.lax.dynamic_slice(st.itt, (p, z, s), (1, R, 1)), (p, z, s))
 
-        # raw fibers into cores (dmrgg.f90:662-685)
-        cores_p = jax.lax.dynamic_update_slice(_at(st.cores, p), acol[:, :, None], (z, z, s))
-        cores_p1 = jax.lax.dynamic_update_slice(_at(st.cores, p + 1), arow[None, :, :], (s, z, z))
-        cores = jax.lax.dynamic_update_slice(st.cores, cores_p[None], (p, z, z, z))
-        cores = jax.lax.dynamic_update_slice(cores, cores_p1[None], (p + 1, z, z, z))
+        # raw fibers into cores (dmrgg.f90:662-685): column slab of core p at
+        # (p, :, :, s), row slab of core p+1 at (p+1, s, :, :)
+        def old4(buf, idx, shape):
+            return jax.lax.dynamic_slice(buf, idx, shape)
+
+        cores = dus(st.cores, acol[None, :, :, None],
+                    old4(st.cores, (p, z, z, s), (1, R, N, 1)), (p, z, z, s))
+        cores = dus(cores, arow[None, None, :, :],
+                    old4(cores, (p + 1, s, z, z), (1, 1, N, R)), (p + 1, s, z, z))
 
         # incremental factor updates (dmrgg.f90:687-713)
         new_colf = lulib.apply_new_col(_at(st.colf, p), u_new, pivot, acol, s)
-        colf_p = jax.lax.dynamic_update_slice(_at(st.colf, p), new_colf[:, :, None], (z, z, s))
-        colf = jax.lax.dynamic_update_slice(st.colf, colf_p[None], (p, z, z, z))
+        colf = dus(st.colf, new_colf[None, :, :, None],
+                   old4(st.colf, (p, z, z, s), (1, R, N, 1)), (p, z, z, s))
         new_rowf = lulib.apply_new_row(_at(st.rowf, p + 1), c_new, arow, s)
-        rowf_p1 = jax.lax.dynamic_update_slice(_at(st.rowf, p + 1), new_rowf[None, :, :], (s, z, z))
-        rowf = jax.lax.dynamic_update_slice(st.rowf, rowf_p1[None], (p + 1, z, z, z))
+        rowf = dus(st.rowf, new_rowf[None, None, :, :],
+                   old4(st.rowf, (p + 1, s, z, z), (1, 1, N, R)), (p + 1, s, z, z))
 
         # left rows: row factor of bond p-1 on core p gains the new column
         # with the bond p-1 L-solve applied (dmrgg.f90:715-728)
-        def left_rows(rowf):
-            slice_ = _at(st.itl, jnp.maximum(p - 1, 0)) @ acol   # L^-1 acol, (R, N)
-            rowf_p = jax.lax.dynamic_update_slice(_at(rowf, p), slice_[:, :, None], (z, z, s))
-            return jax.lax.dynamic_update_slice(rowf, rowf_p[None], (p, z, z, z))
-
-        rowf = jax.lax.cond(p > own_lo, left_rows, lambda r: r, rowf)
+        upd_l = upd & (p > own_lo)
+        slc_l = _at(st.itl, jnp.maximum(p - 1, 0)) @ acol   # L^-1 acol, (R, N)
+        rowf = jax.lax.dynamic_update_slice(
+            rowf, jnp.where(upd_l, slc_l[None, :, :, None],
+                            old4(rowf, (p, z, z, s), (1, R, N, 1))),
+            (p, z, z, s))
 
         # right cols: col factor of bond p+1 on core p+1 gains the new row
         # with the bond p+1 T-solve applied (dmrgg.f90:730-749)
-        def right_cols(colf):
-            slice_ = arow @ _at(st.itt, jnp.minimum(p + 1, d - 2))  # arow T^-1, (N, R)
-            colf_p1 = jax.lax.dynamic_update_slice(_at(colf, p + 1), slice_[None, :, :], (s, z, z))
-            return jax.lax.dynamic_update_slice(colf, colf_p1[None], (p + 1, z, z, z))
-
-        colf = jax.lax.cond(p < own_hi - 1, right_cols, lambda c: c, colf)
+        upd_r = upd & (p < own_hi - 1)
+        slc_r = arow @ _at(st.itt, jnp.minimum(p + 1, d - 2))  # arow T^-1, (N, R)
+        colf = jax.lax.dynamic_update_slice(
+            colf, jnp.where(upd_r, slc_r[None, None, :, :],
+                            old4(colf, (p + 1, s, z, z), (1, 1, N, R))),
+            (p + 1, s, z, z))
 
         apiv = jnp.abs(pivot)
-        pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
-        pivotmin = jnp.where(st.pivotmin < 0, apiv, jnp.minimum(st.pivotmin, apiv))
-        rk = st.rk.at[p + 1].add(1)
+        pivotmax = jnp.where(upd & (st.pivotmax < 0), apiv,
+                             jnp.where(upd, jnp.maximum(st.pivotmax, apiv), st.pivotmax))
+        pivotmin = jnp.where(upd & (st.pivotmin < 0), apiv,
+                             jnp.where(upd, jnp.minimum(st.pivotmin, apiv), st.pivotmin))
+        rk = st.rk.at[p + 1].add(jnp.where(upd, 1, 0))
         return st._replace(cores=cores, colf=colf, rowf=rowf, rk=rk, vip=vip,
                            lu_c=lu_c, lu_u=lu_u, lu_d=lu_d, itl=itl, itt=itt,
                            pivotmax=pivotmax, pivotmin=pivotmin)
 
     def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1,
-                   ltab=None, rtab=None):
+                   ltab=None, rtab=None, u2=None):
         """Hunt + (maybe) accept at bond p.  Returns (state, tape_i, tape_f):
         tape_i (5,) int32 = (accepted, ii, jj, kk, qq); tape_f (2R+1,) =
         (c border, u border, pivot) — the per-sweep record the distributed
@@ -479,10 +542,14 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             ltab = left_table(st.vip, p, d)
         if rtab is None:
             rtab = right_table(st.vip, p, d)
+        if u2 is None and cfg.piv != -1:
+            key, sub = jax.random.split(st.key)
+            u2 = jax.random.uniform(sub, (2, NLOT), jnp.float64)
+            st = st._replace(key=key)
         if cfg.piv == -1:
             st, piv_idx, pivot, acol, arow = _hunt_full(st, p, ltab, rtab)
         else:
-            st, seed, pivot0 = _hunt_lottery(st, p, ltab, rtab)
+            st, seed, pivot0 = _hunt_lottery(st, p, ltab, rtab, u2)
             if cfg.piv == 0:
                 st, piv_idx, pivot, acol, arow = _hunt_piv0(st, p, ltab, rtab, seed, pivot0)
             else:
@@ -497,9 +564,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         u_new = _at(st.rowf, p + 1)[:, kk, qq] * rmask
         tape_i = jnp.where(upd, jnp.stack([1, ii, jj, kk, qq]).astype(jnp.int32), 0)
         tape_f = jnp.where(upd, jnp.concatenate([c_new, u_new, pivot[None]]), 0.0)
-        st = jax.lax.cond(
-            upd, lambda s: _accept(s, p, piv_idx, pivot, acol, arow, own_lo, own_hi),
-            lambda s: s, st)
+        st = _accept(st, p, piv_idx, pivot, acol, arow, own_lo, own_hi, upd)
         return st, tape_i, tape_f
 
     def sweep_fn_inner(st: CrossState, it) -> CrossState:
@@ -511,8 +576,11 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         direction we sweep INTO is advanced incrementally — O(d R) per
         sweep instead of O(d^2 R) of per-bond scans."""
         dir_fwd = (it % 2) == 1
+        key, sub = jax.random.split(st.key)
+        U = jax.random.uniform(sub, (d - 1, 2, NLOT), jnp.float64)
         st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
-                         pivotmin=jnp.full((), -1.0, st.amax.dtype))
+                         pivotmin=jnp.full((), -1.0, st.amax.dtype),
+                         key=key)
         LT = all_left_tables(st.vip, d)
         RT = all_right_tables(st.vip, d)
         tab0 = jnp.zeros((R, d), st.vip.dtype)   # = LT[0] and RT[d-2]
@@ -522,7 +590,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             p = jnp.where(dir_fwd, idx, d - 2 - idx)
             ltab = jnp.where(dir_fwd, tab, _at(LT, p))
             rtab = jnp.where(dir_fwd, _at(RT, p), tab)
-            s = visit_bond(s, p, dir_fwd, ltab=ltab, rtab=rtab)[0]
+            s = visit_bond(s, p, dir_fwd, ltab=ltab, rtab=rtab, u2=_at(U, p))[0]
             vip_p = _at(s.vip, p)
             tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
                             advance_right(tab, vip_p, p - 1))
@@ -605,6 +673,34 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
         return run_fn
 
+    _full_cache: dict = {}
+
+    def make_full_fn(max_sweeps: int, with_quad: bool, accuracy: float | None):
+        """Whole cross — init, fused multi-sweep run, LU finalization — as
+        ONE device executable returning the solved cores plus a single
+        packed result vector.  Through a remote-dispatch tunnel every
+        device call and every device->host transfer costs tens of ms of
+        latency; this path leaves exactly one dispatch and one small
+        transfer on the critical path (the cores stay on device)."""
+        ck = (max_sweeps, with_quad, accuracy)
+        if ck not in _full_cache:
+            run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
+
+            @jax.jit
+            def full_fn(key, w):
+                st = init_fn(key)
+                st, last_it, vals, pmax, nev = run_fn(st, w)
+                solved = finalize_fn(st)
+                ft = vals.dtype
+                packed = jnp.concatenate([
+                    vals, pmax, nev.astype(ft), st.rk.astype(ft),
+                    jnp.stack([last_it.astype(ft), st.neval.astype(ft)]),
+                ])
+                return solved, packed
+
+            _full_cache[ck] = full_fn
+        return _full_cache[ck]
+
     @jax.jit
     def finalize_fn(st: CrossState) -> jax.Array:
         """Apply the LU inverses to all raw cores in ONE compiled call
@@ -628,7 +724,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         make_run_fn=make_run_fn, visit_bond=visit_bond, value_mat=value_mat,
         eval_col_fiber=_eval_col_fiber, eval_row_fiber=_eval_row_fiber,
         init_neval=cfg.snum * int(min(cfg.n)) + int(sum(cfg.n)),
-        finalize_fn=finalize_fn,
+        finalize_fn=finalize_fn, make_full_fn=make_full_fn,
     )
 
 
@@ -708,10 +804,6 @@ def cross(
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     t0 = time.perf_counter()
-    # checkpoint/resume: restart from a saved CrossState (engine-state
-    # persistence the reference lacks, SURVEY.md §5; save with
-    # tt.serialize.save_state / load_state)
-    st = init_fn(key) if init_state is None else init_state
 
     with_quad = quad is not None
     if with_quad:
@@ -724,12 +816,36 @@ def cross(
 
     if max_sweeps is None:
         max_sweeps = max_rank - 1
-    run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
-    st, last_it, vals, pmax, nev = run_fn(st, w)
-    last_it = int(last_it)
-    vals = np.asarray(vals)
-    pmax = np.asarray(pmax)
-    nev = np.asarray(nev)
+
+    fast = init_state is None and not return_state
+    if fast:
+        # one device dispatch + one small packed transfer (see make_full_fn)
+        full_fn = kit.make_full_fn(max_sweeps, with_quad, accuracy)
+        solved, packed = full_fn(key, w)
+        packed = np.asarray(packed)
+        S = max_sweeps + 1
+        vals = packed[:S]
+        pmax = packed[S:2 * S]
+        nev = packed[2 * S:3 * S].astype(np.int64)
+        rk = packed[3 * S:3 * S + d + 1].astype(np.int64)
+        last_it = int(packed[-2])
+        neval = int(packed[-1])
+        # cores stay on device; slicing is lazy
+        tt = TT(tuple(solved[c, : rk[c], : n[c], : rk[c + 1]] for c in range(d)))
+        st = None
+    else:
+        # checkpoint/resume: restart from a saved CrossState (engine-state
+        # persistence the reference lacks, SURVEY.md §5; save with
+        # tt.serialize.save_state / load_state)
+        st = init_fn(key) if init_state is None else init_state
+        run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
+        st, last_it, vals, pmax, nev = run_fn(st, w)
+        last_it = int(last_it)
+        vals = np.asarray(vals)
+        pmax = np.asarray(pmax)
+        nev = np.asarray(nev)
+        rk = np.asarray(st.rk)
+        neval = int(st.neval)
 
     values, errors = [], []
     if with_quad:
@@ -755,10 +871,11 @@ def cross(
                 line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
             print(line)
 
-    tt = finalize(st, cfg, kit)
+    if not fast:
+        tt = finalize(st, cfg, kit)
     res = CrossResult(
-        tt=tt, neval=int(st.neval), sweeps=last_it,
-        ranks=tuple(int(x) for x in np.asarray(st.rk)),
+        tt=tt, neval=neval, sweeps=last_it,
+        ranks=tuple(int(x) for x in rk),
         values=values, errors=errors,
         time=time.perf_counter() - t0, converged=converged, history=history,
     )

@@ -20,7 +20,63 @@ __all__ = [
     "svd_chopped", "matinv", "eye", "laplace", "norm2p",
     "qr_ort", "gram_schmidt", "orto_block",
     "aca", "greedy_cur", "transpose2d", "transpose3d",
+    "table_lookup", "onehot_rows", "row_lookup",
 ]
+
+
+def onehot_rows(ind, n: int, dtype=jnp.float32):
+    """Exact one-hot encoding of integer indices: (..., n)."""
+    ind = jnp.asarray(ind)
+    return (ind[..., None] == jnp.arange(n)).astype(dtype)
+
+
+def _f32_split3(x):
+    """Exact 3-term f32 decomposition of normal-range f64: x = a + b + c
+    bit-for-bit (24+24+5 mantissa bits cover f64's 53; each residual is
+    f32-representable for |x| within f32's exponent range)."""
+    a = x.astype(jnp.float32)
+    r = x - a.astype(jnp.float64)
+    b = r.astype(jnp.float32)
+    c = (r - b.astype(jnp.float64)).astype(jnp.float32)
+    return a, b, c
+
+
+def _onehot_select(parts, oh, axis):
+    """Sum of exact one-hot contractions against the f32 split parts.
+    HIGHEST keeps each f32 contraction exact on the MXU's bf16-split
+    passes: the one-hot factor is 0/1 (exact at every split level), so
+    each pass contributes one exact addend and the accumulation of
+    non-overlapping mantissa splits never rounds."""
+    P = jax.lax.Precision.HIGHEST
+    out = None
+    for part in parts:
+        t = jnp.tensordot(oh, part, axes=[[-1], [axis]], precision=P)
+        out = t.astype(jnp.float64) if out is None else out + t.astype(jnp.float64)
+    return out
+
+
+def table_lookup(table, ind):
+    """Gather-free table lookup: out[...] = table[ind[...]] for a small 1-D
+    f64 table, computed EXACTLY as three f32 one-hot matmuls on the MXU.
+
+    TPU row-gathers run at a few ns/element, and integrand-style lookups
+    (nodes[ind] on a (B, d) index batch) dominated sweep traces (~75%).
+    A one-hot contraction instead streams at matmul speed, and is exact:
+    each one-hot dot picks one addend of the 3-term f32 split with no
+    rounding, and the f64 sum reassembles the original value bit-for-bit
+    (values must lie in f32's exponent range — true for quadrature data)."""
+    table = jnp.asarray(table)
+    oh = onehot_rows(ind, table.shape[0])
+    return _onehot_select(_f32_split3(table), oh, 0)
+
+
+def row_lookup(mat, lin, axis: int = 0):
+    """Gather-free row (axis=0) / column (axis=1) selection from a 2-D f64
+    matrix: out[b, :] = mat[lin[b], :] (or mat[:, lin[b]]), exact via the
+    same one-hot split-f32 MXU contraction as table_lookup."""
+    mat = jnp.asarray(mat)
+    oh = onehot_rows(lin, mat.shape[axis])
+    return _onehot_select(_f32_split3(mat), oh, axis)
 
 
 def svd_chopped(a, tol: float | None = None, rmax: int | None = None):

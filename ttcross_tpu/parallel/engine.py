@@ -66,23 +66,39 @@ def _at(arr, c):
     return jax.lax.dynamic_index_in_dim(arr, c, 0, keepdims=False)
 
 
-def get_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
+def get_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
+                        mybonds=None):
     target = getattr(fun, "__self__", fun)
-    key = (id(target), getattr(fun, "__name__", None), cfg, id(mesh))
+    mb = None if mybonds is None else tuple(int(x) for x in mybonds)
+    key = (id(target), getattr(fun, "__name__", None), cfg, id(mesh), mb)
     eng = _PAR_CACHE.get(key)
     if eng is None:
         _PAR_PINS.append((target, mesh))
-        eng = _PAR_CACHE[key] = make_parallel_engine(fun, cfg, mesh)
+        eng = _PAR_CACHE[key] = make_parallel_engine(fun, cfg, mesh, mybonds)
     return eng
 
 
-def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
+def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
+                         mybonds=None):
     """Build the distributed runner.  Returns (init_fn, make_run_fn,
-    gather_fn) where run/gather are shard_map'd over the mesh."""
+    gather_fn) where run/gather are shard_map'd over the mesh.
+
+    mybonds: optional caller-provided slab boundaries (ndev+1,), replacing
+    the block `share` distribution (the reference's `mybonds` argument,
+    dmrgg.f90:22, 120-131)."""
     kit: EngineKit = get_engine(fun, cfg)
     d, N, R = cfg.d, cfg.N, cfg.R
     ndev = mesh.devices.size
-    own = share(d - 1, ndev)                       # (ndev+1,)
+    if mybonds is None:
+        own = share(d - 1, ndev)                   # (ndev+1,)
+    else:
+        own = np.asarray(mybonds, dtype=np.int32)
+        if (own.shape != (ndev + 1,) or own[0] != 0 or own[-1] != d - 1
+                or np.any(np.diff(own) < 1)):
+            raise ValueError(
+                f"mybonds must be {ndev + 1} increasing slab boundaries "
+                f"from 0 to {d - 1} with at least one bond per device; "
+                f"got {own.tolist()}")
     own_lo_tbl = jnp.asarray(own[:-1], jnp.int32)  # per-device slab start
     own_hi_tbl = jnp.asarray(own[1:], jnp.int32)   # one-past-last bond
     max_cnt = int(np.max(own[1:] - own[:-1]))
@@ -99,8 +115,11 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
         """Sequential hunt over the owned slab, recording the tape."""
         cnt = own_hi - own_lo
         dir_fwd = (it % 2) == 1
+        key, sub = jax.random.split(st.key)
+        U = jax.random.uniform(sub, (d - 1, 2, 2 * (R + N)), jnp.float64)
         st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
-                         pivotmin=jnp.full((), -1.0, st.amax.dtype))
+                         pivotmin=jnp.full((), -1.0, st.amax.dtype),
+                         key=key)
         tape_i = jnp.zeros((d - 1, 5), jnp.int32)
         tape_f = jnp.zeros((d - 1, 2 * R + 1), st.amax.dtype)
         LT = all_left_tables(st.vip, d)
@@ -119,7 +138,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
                 ltab = jnp.where(dir_fwd, tab, _at(LT, p))
                 rtab = jnp.where(dir_fwd, _at(RT, p), tab)
                 st2, row_i, row_f = kit.visit_bond(st, p, dir_fwd, own_lo, own_hi,
-                                                   ltab=ltab, rtab=rtab)
+                                                   ltab=ltab, rtab=rtab, u2=_at(U, p))
                 ti = jax.lax.dynamic_update_slice(ti, row_i[None], (p, jnp.int32(0)))
                 tf = jax.lax.dynamic_update_slice(tf, row_f[None], (p, jnp.int32(0)))
                 vip_p = _at(st2.vip, p)
@@ -250,8 +269,13 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
 
     def pvalue(st: CrossState, w, own_lo, own_hi):
         """Distributed quadrature value: per-device chain product over its
-        authoritative cores, then an ordered all-gathered product (replaces
-        the binary-tree pairwise GEMM reduce, dmrgg.f90:1356-1405)."""
+        authoritative cores, then a log2-depth stride-doubling product over
+        the mesh (the TPU rendering of the reference's binary-tree pairwise
+        GEMM reduce, dmrgg.f90:1356-1405): at step k every device multiplies
+        its partial with the partial 2^k positions to its right (identity
+        past the edge), so after ceil(log2 ndev) ppermutes device 0 holds
+        the full ordered product.  O(log ndev) (R, R) messages instead of an
+        all_gather of ndev R^2 blocks + an O(ndev)-depth replicated chain."""
         me = jax.lax.axis_index(BOND_AXIS)
         cnt = own_hi - own_lo + jnp.where(me == ndev - 1, 1, 0)
         part = jnp.eye(R, dtype=st.amax.dtype)
@@ -262,14 +286,23 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh):
             return jnp.where(idx < cnt, part @ m, part)
 
         part = jax.lax.fori_loop(0, max_cores, body, part)
-        parts = jax.lax.all_gather(part, BOND_AXIS)   # (ndev, R, R)
 
-        def chain(i, v):
-            return v @ parts[i]
+        stride = 1
+        while stride < ndev:
+            # pull the partial of the device `stride` to the right; devices
+            # past the edge contribute the identity (wrap-around partials
+            # are masked off)
+            right = jax.lax.ppermute(
+                part, BOND_AXIS,
+                [(src, (src - stride) % ndev) for src in range(ndev)])
+            eye = jnp.eye(R, dtype=part.dtype)
+            right = jnp.where(me + stride < ndev, right, eye)
+            part = part @ right
+            stride *= 2
 
-        v0 = jnp.zeros((1, R), st.amax.dtype).at[0, 0].set(1.0)
-        v = jax.lax.fori_loop(0, ndev, chain, v0)
-        return v[0, 0]
+        # the ordered product lives on device 0; broadcast its [0, 0] entry
+        # (boundary ranks are 1, so that entry is the value)
+        return jax.lax.psum(jnp.where(me == 0, part[0, 0], 0.0), BOND_AXIS)
 
     # ------------------------------------------------------------- runner
     def make_run_fn(max_sweeps: int, with_quad: bool, accuracy: float | None):
@@ -340,10 +373,12 @@ def cross_parallel(
     dtype=jnp.float64,
     mesh: Mesh | None = None,
     verbose: bool = False,
+    mybonds=None,
 ) -> CrossResult:
     """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
     the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
-    cross(); requires len(mesh devices) <= d-1."""
+    cross(); requires len(mesh devices) <= d-1.  mybonds optionally gives
+    custom slab boundaries (ndev+1,), as dtt_dmrgg's mybonds argument."""
     n = tuple(int(x) for x in n)
     d = len(n)
     if mesh is None:
@@ -351,7 +386,7 @@ def cross_parallel(
     se, sp = precision_thresholds(dtype)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp)
-    kit, make_run_fn = get_parallel_engine(fun, cfg, mesh)
+    kit, make_run_fn = get_parallel_engine(fun, cfg, mesh, mybonds)
 
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
