@@ -40,8 +40,10 @@ def ising_integrand(ind, nodes, weights, kind: str):
     kind 'C' -> 2b, 'D' -> 2ab, 'E' -> 2a, each times prod of weights
     (ids 1/2/3 in test_crs_ising.f90:206-212)."""
     kid = _KIND_ID[kind.upper()]
-    x = nodes[ind]       # (B, d)
-    w = weights[ind]     # (B, d)
+    from ..ops.dense import table_lookup
+
+    x = table_lookup(nodes, ind)     # (B, d); exact MXU one-hot lookup
+    w = table_lookup(weights, ind)   # (TPU row-gathers dominate otherwise)
     B, d = x.shape
     one = jnp.ones((B, 1), dtype=x.dtype)
 
@@ -147,6 +149,75 @@ def make_ising_dd(m: int = 6, n: int = 65):
     weights_hi = [quad_weights] * d
     weights_lo = [np.zeros(n)] * d
     return prob, fun_dd, weights_hi, weights_lo
+
+
+def make_ising_mp(kind: str = "C", m: int = 4, n: int = 33, dps: int = 120):
+    """Ising problem at arbitrary precision (the test_mpf_ising role,
+    README.md:52, data plane of mptt_dmrgg): mp Gauss-Legendre rule on
+    [0, 1], mp integrand, mp rank-1 quad weights, mp truth.
+
+    Returns (d, n, fun_mp, quad_w, truth_mp).  fun_mp: (B, d) int ->
+    (B,) object array of mpf, evaluated at mp.dps = dps."""
+    from mpmath import mp, mpf
+
+    from ..ops.mp import mp_lgwt, workdps
+    from .truths import ising_truth_mp
+
+    kind = kind.upper()
+    if kind not in _KIND_ID:
+        raise ValueError(f"unknown Ising integral kind: {kind}")
+    kid = _KIND_ID[kind]
+    if n % 2 == 0:
+        n += 1
+    d = m - 1
+    with workdps(dps):
+        x, w = mp_lgwt(n, dps)
+        half = mpf(1) / 2
+        nodes = np.array([(xi + 1) * half for xi in x], dtype=object)
+        val = mpf(n // 2)
+        weights = np.array([wi * half * val for wi in w], dtype=object)
+        quad_w = np.array([1 / val] * n, dtype=object)
+        try:
+            truth = ising_truth_mp(kind, m, dps)
+        except KeyError:
+            truth = None
+
+    def fun_mp(ind):
+        """dfunc_ising_discr (test_crs_ising.f90:176-218) in mp arithmetic."""
+        with workdps(dps):
+            B = ind.shape[0]
+            out = np.empty(B, dtype=object)
+            for t in range(B):
+                xs = [nodes[ind[t, s]] for s in range(d)]
+                f = mpf(2)
+                if kid in (2, 3):  # a-term: prod_{i<j} ((u-1)/(u+1))^2
+                    P = [mpf(1)]
+                    for v in xs:
+                        P.append(P[-1] * v)
+                    a = mpf(1)
+                    for i in range(d + 1):
+                        for j in range(i + 1, d + 1):
+                            ratio = (P[j] - P[i]) / (P[j] + P[i])
+                            a *= ratio * ratio
+                    f *= a
+                if kid in (1, 2):  # b-term: 2/(v w)
+                    pre = mpf(1)
+                    wsum = mpf(1)
+                    for v in xs:
+                        pre *= v
+                        wsum += pre
+                    suf = mpf(1)
+                    vsum = mpf(1)
+                    for v in reversed(xs):
+                        suf *= v
+                        vsum += suf
+                    f /= vsum * wsum
+                for s in range(d):
+                    f *= weights[ind[t, s]]
+                out[t] = f
+            return out
+
+    return d, n, fun_mp, [quad_w] * d, truth
 
 
 @dataclass(frozen=True)
