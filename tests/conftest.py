@@ -33,6 +33,20 @@ assert len(jax.devices()) >= 8, "tests need 8 virtual devices"
 import numpy as np
 import pytest
 
+# Keep the default `pytest tests/` invocation under a 10-minute CI budget:
+# slow end-to-end runs are opt-in via TTCROSS_SLOW=1 (or an explicit
+# `-m slow` selection).
+RUN_SLOW = os.environ.get("TTCROSS_SLOW", "0") not in ("0", "", "false")
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow: set TTCROSS_SLOW=1 or -m slow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture
 def rng():
