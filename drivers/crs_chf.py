@@ -11,7 +11,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 import ttcross_tpu  # noqa: F401
-from ttcross_tpu.apps import CHF_REFERENCE, make_mvn
+from ttcross_tpu.apps import CHF_REFERENCE, CHF_RHO05, make_mvn
 from ttcross_tpu.apps.chf import basket_chf
 from ttcross_tpu.cross import cross
 from ttcross_tpu.utils import print_config, readarg
@@ -37,9 +37,12 @@ def main():
     for k in range(32):
         print(f"computed value: {phis[k].real:.16e} {phis[k].imag:.16e}")
         if d == 6:  # the goldens are d=6 values (test_crs_chf.f90:232-271)
-            ref = CHF_REFERENCE[k]
+            ref = CHF_RHO05[k]   # regenerated at the source's parameters;
+            stale = CHF_REFERENCE[k]  # the reference's table is stale (~0.552 fit)
             print(f"golden  value: {ref.real:.16e} {ref.imag:.16e}")
-            print(f"agreement digits: {-np.log10(abs(1 - phis[k] / ref)):7.2f}")
+            print(f"agreement digits: {-np.log10(abs(1 - phis[k] / ref)):7.2f}"
+                  f"  (vs stale reference table: "
+                  f"{-np.log10(abs(1 - phis[k] / stale)):5.2f})")
     print(f"phi_0 (mass) = {phis[0].real:.8f} (should be ~1)")
     print("Good bye.")
 
