@@ -56,6 +56,12 @@ def main():
         "sweeps": res.sweeps,
         "first_sweep_below_1e-10": t_hit,
         "max_rank": max(res.ranks),
+        # honesty metrics: n_evals counts ACTIVE entries (the reference's
+        # bookkeeping, dmrgg.f90:372,465,...); padded_evals counts every
+        # integrand call including masked padding slots (see BENCH_NOTES
+        # "n_evals parity")
+        "padded_evals": int(res.padded_evals),
+        "padded_ratio": round(res.padded_evals / res.neval, 2),
     }
     print(json.dumps(out))
     return 0

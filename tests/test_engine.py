@@ -114,3 +114,42 @@ def test_checkpoint_resume(rng, tmp_path):
     r2 = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12, init_state=st)
     approx = np.asarray(tt.full(r2.tt))
     assert np.abs(approx - dense).max() < 1e-11
+
+
+def test_chunked_rank_growth(rng):
+    """rank_chunks: chunked padding growth must recover the tensor exactly
+    like the single-chunk run while doing strictly fewer padded (actual)
+    integrand evaluations; counted n_evals stays reference-equivalent."""
+    _, dense, fun = make_low_rank(rng, 4, 9, (1, 3, 4, 3, 1))
+    single = cross(fun, [9] * 4, max_rank=8, pivoting=1, accuracy=1e-12)
+    chunked = cross(fun, [9] * 4, max_rank=8, pivoting=1, accuracy=1e-12,
+                    rank_chunks=[4, 8])
+    approx = np.asarray(tt.full(chunked.tt))
+    assert np.abs(approx - dense).max() < 1e-10
+    assert chunked.padded_evals < single.padded_evals
+    assert chunked.padded_evals < 2.2 * chunked.neval
+
+
+def test_chunked_matches_auto_schedule(rng):
+    _, dense, fun = make_low_rank(rng, 3, 8, (1, 2, 2, 1))
+    res = cross(fun, [8] * 3, max_rank=12, pivoting=1, accuracy=1e-12,
+                rank_chunks="auto")
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-11
+
+
+def test_pad_state_preserves_semantics(rng):
+    """pad_state embedding: a state padded mid-run must finalize to the
+    same TT values (the maintained inverses keep their block structure)."""
+    from ttcross_tpu.cross.engine import CrossConfig, finalize, get_engine
+    from ttcross_tpu.cross.state import pad_state
+
+    T, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
+    r1 = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12,
+               return_state=True)
+    st8 = pad_state(r1.state, 8)
+    cfg8 = CrossConfig(d=3, n=(7, 7, 7), N=7, R=8, piv=1,
+                       small_element=1e-14, small_pivot=1e-7)
+    tt8 = finalize(st8, cfg8)
+    approx = np.asarray(tt.full(tt8))
+    assert np.abs(approx - dense).max() < 1e-11

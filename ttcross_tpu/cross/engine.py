@@ -82,6 +82,37 @@ class CrossResult:
     converged: bool
     history: list | None = None   # structured SweepRecords (utils/metrics.py)
     state: object | None = None   # final CrossState when return_state=True
+    padded_evals: int | None = None  # ACTUAL integrand calls incl. padding
+
+
+def _padded_evals(cfg: "CrossConfig", chunk_sweeps) -> int:
+    """Closed-form count of ACTUAL integrand evaluations including padded
+    (masked) slots — the honest device-work counterpart of the masked
+    `neval` counter, which matches the reference's active-entry bookkeeping
+    (dmrgg.f90:372,465,509,527,560).  chunk_sweeps: [(R_chunk, sweeps)]."""
+    d, N, piv = cfg.d, cfg.N, cfg.piv
+    nn = int(min(cfg.n))
+    tot = cfg.snum * nn + d * N                       # init search + fibers
+    for Rc, sweeps in chunk_sweeps:
+        if piv >= 1:
+            per_bond = 2 * (Rc + N) + 2 * piv * Rc * N  # lottery + rook passes
+        elif piv == 0:
+            per_bond = 2 * (Rc + N) + 2 * Rc * N        # lottery + col + row
+        else:
+            per_bond = Rc * N * N * Rc                  # full superblock
+        tot += sweeps * (d - 1) * per_bond
+    return int(tot)
+
+
+def auto_chunks(max_rank: int, n_chunks: int = 4) -> list[int]:
+    """Default rank-chunk schedule: evenly spaced padding levels ending at
+    max_rank.  With k chunks the padded fiber work is ~(k+1)/(2k) * R^2
+    versus the reference's exact ~R^2/2 — 1.25x at k=4."""
+    if max_rank <= 6:
+        return [max_rank]
+    nch = n_chunks if max_rank >= 4 * n_chunks else 2
+    ch = sorted({max(4, -(-max_rank * k // nch)) for k in range(1, nch + 1)})
+    return [c for c in ch if c <= max_rank] if ch[-1] == max_rank else ch + [max_rank]
 
 
 def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
@@ -285,21 +316,27 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         """Rook pivoting (dmrgg.f90:515-582): alternate column/row
         maximization until stationary or crs >= 2 piv.
 
-        The reference's `do while` is UNROLLED into 2*piv straight-line
-        masked passes: for a fixed budget the dynamic loop executes exactly
-        2*piv passes unless it goes stationary early, and on TPU the
-        while_loop + nested-cond version pays per-iteration sync overhead
-        that dwarfs the (tiny) pass math.  A pass whose `done` flag is set
-        contributes nothing: state and n_evals are frozen by masking, so
-        results and evaluation counts are identical to the dynamic loop."""
+        The reference's `do while` is UNROLLED into exactly 2*piv
+        straight-line masked passes: for a fixed budget the dynamic loop
+        executes exactly 2*piv passes unless it goes stationary early, and
+        on TPU the while_loop + nested-cond version pays per-iteration sync
+        overhead that dwarfs the (tiny) pass math.  Each pass is a UNIFIED
+        col-or-row step selected by a traced boolean: both candidate index
+        batches are assembled (cheap integer ops) and `where`-selected into
+        ONE padded integrand call, so '>>' sweeps run col,row,col,... and
+        '<<' sweeps row,col,row,... (skipcol, dmrgg.f90:517) without a
+        direction cond (whose branches would capture the multi-MB factors
+        by value) and without any always-dead surplus pass.  A pass whose
+        `done` flag is set contributes nothing: state and n_evals are
+        frozen by masking, so results and evaluation counts match the
+        dynamic loop."""
         ii0, jj0, kk0, qq0 = seed
         dt = st.cores.dtype
-        acol0 = jnp.zeros((R, N), dt)
-        arow0 = jnp.zeros((N, R), dt)
         false = jnp.asarray(False)
         # carry: ii jj kk qq pivot acol arow havecol haverow crs done amax neval
-        c = dict(ii=ii0, jj=jj0, kk=kk0, qq=qq0, pivot=pivot0, acol=acol0,
-                 arow=arow0, havecol=false, haverow=false,
+        c = dict(ii=ii0, jj=jj0, kk=kk0, qq=qq0, pivot=pivot0,
+                 acol=jnp.zeros((R, N), dt), arow=jnp.zeros((N, R), dt),
+                 havecol=false, haverow=false,
                  crs=jnp.asarray(0, jnp.int32), done=false,
                  amax=st.amax, neval=st.neval)
 
@@ -307,66 +344,60 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             return jax.tree_util.tree_map(
                 lambda a, b: jnp.where(live, a, b), new, old)
 
-        def col_pass(c, force_dead=None):
+        # candidate enumerations: col fibers vary (i, j) over (R, N) at the
+        # carry's fixed (kk, qq); row fibers vary (k, q) over (N, R) at the
+        # fixed (ii, jj)
+        ci_g, cj_g = jnp.repeat(iR, N), jnp.tile(iN, R)
+        rk_g, rq_g = jnp.repeat(iN, R), jnp.tile(iR, N)
+
+        def unified_pass(c, is_col):
             live = ~c["done"]
-            if force_dead is not None:
-                live = live & ~force_dead
-            stv = st._replace(amax=c["amax"], neval=jnp.int64(0))
-            acol, amax, dnev = _eval_col_fiber(stv, p, ltab, rtab, c["kk"], c["qq"])
-            havecol = jnp.asarray(True)
-            crs = c["crs"] + 1
-            budget = havecol & c["haverow"] & (crs >= 2 * cfg.piv)
+            ind_col = assemble_indices(ltab, rtab, p, ci_g, cj_g,
+                                       jnp.full_like(ci_g, c["kk"]),
+                                       jnp.full_like(ci_g, c["qq"]), d)
+            ind_row = assemble_indices(ltab, rtab, p,
+                                       jnp.full_like(rk_g, c["ii"]),
+                                       jnp.full_like(rk_g, c["jj"]),
+                                       rk_g, rq_g, d)
+            vals = fun(jnp.where(is_col, ind_col, ind_row))     # (R*N,)
+            cmask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
+            rmask2 = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
+            acol = jnp.where(cmask, vals.reshape(R, N), 0.0)
+            arow = jnp.where(rmask2, vals.reshape(N, R), 0.0)
+            amax = jnp.maximum(c["amax"], jnp.max(jnp.abs(
+                jnp.where(is_col, acol.reshape(-1), arow.reshape(-1)))))
+            dnev = jnp.where(is_col, st.rk[p] * n_arr[p],
+                             n_arr[p + 1] * st.rk[p + 2]).astype(jnp.int64)
             bcol = _col_residual(st, p, acol, c["kk"], c["qq"])
-            mask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
-            i2, j2 = _masked_argmax2(bcol, mask)
-            stat = havecol & c["haverow"] & (i2 == c["ii"]) & (j2 == c["jj"])
-            upd = ~budget
-            new = dict(ii=jnp.where(upd, i2, c["ii"]),
-                       jj=jnp.where(upd, j2, c["jj"]),
-                       kk=c["kk"], qq=c["qq"],
-                       pivot=jnp.where(upd, bcol[i2, j2], c["pivot"]),
-                       acol=acol, arow=c["arow"], havecol=havecol,
-                       haverow=c["haverow"], crs=crs,
-                       done=budget | (upd & stat),
-                       amax=amax, neval=c["neval"] + dnev)
-            return sel(live, new, c)
-
-        def row_pass(c, force_dead=None):
-            live = ~c["done"]
-            if force_dead is not None:
-                live = live & ~force_dead
-            stv = st._replace(amax=c["amax"], neval=jnp.int64(0))
-            arow, amax, dnev = _eval_row_fiber(stv, p, ltab, rtab, c["ii"], c["jj"])
-            haverow = jnp.asarray(True)
-            crs = c["crs"] + 1
-            budget = c["havecol"] & haverow & (crs >= 2 * cfg.piv)
             brow = _row_residual(st, p, arow, c["ii"], c["jj"])
-            mask = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
-            k2, q2 = _masked_argmax2(brow, mask)
-            stat = c["havecol"] & haverow & (k2 == c["kk"]) & (q2 == c["qq"])
+            i2, j2 = _masked_argmax2(bcol, cmask)
+            k2, q2 = _masked_argmax2(brow, rmask2)
+            havecol = c["havecol"] | is_col
+            haverow = c["haverow"] | ~is_col
+            crs = c["crs"] + 1
+            budget = havecol & haverow & (crs >= 2 * cfg.piv)
+            stat = havecol & haverow & jnp.where(
+                is_col, (i2 == c["ii"]) & (j2 == c["jj"]),
+                (k2 == c["kk"]) & (q2 == c["qq"]))
             upd = ~budget
-            new = dict(ii=c["ii"], jj=c["jj"],
-                       kk=jnp.where(upd, k2, c["kk"]),
-                       qq=jnp.where(upd, q2, c["qq"]),
-                       pivot=jnp.where(upd, brow[k2, q2], c["pivot"]),
-                       acol=c["acol"], arow=arow, havecol=c["havecol"],
-                       haverow=haverow, crs=crs,
+            uc = upd & is_col
+            ur = upd & ~is_col
+            new = dict(ii=jnp.where(uc, i2, c["ii"]),
+                       jj=jnp.where(uc, j2, c["jj"]),
+                       kk=jnp.where(ur, k2, c["kk"]),
+                       qq=jnp.where(ur, q2, c["qq"]),
+                       pivot=jnp.where(upd, jnp.where(is_col, bcol[i2, j2],
+                                                      brow[k2, q2]), c["pivot"]),
+                       acol=jnp.where(is_col, acol, c["acol"]),
+                       arow=jnp.where(is_col, c["arow"], arow),
+                       havecol=havecol, haverow=haverow, crs=crs,
                        done=budget | (upd & stat),
                        amax=amax, neval=c["neval"] + dnev)
             return sel(live, new, c)
 
-        # '>>' sweeps: col,row,col,row,...; '<<' sweeps skip the leading col
-        # (skipcol, dmrgg.f90:517) -> row,col,row,...  2*piv passes total in
-        # both directions.  Rather than a lax.cond on the direction (whose
-        # branches capture the multi-MB factors by value -> dominant buffer
-        # copies in traces), a single straight-line sequence of 2*piv+1
-        # passes handles both: the leading row pass is live only on '<<'
-        # sweeps, and the crs budget masking (done flag) kills the trailing
-        # surplus pass in whichever direction reaches 2*piv passes first.
-        c = row_pass(c, force_dead=dir_fwd)
-        for _ in range(cfg.piv):
-            c = col_pass(c)
-            c = row_pass(c)
+        for t in range(2 * cfg.piv):
+            # '>>': col on even passes; '<<': row first
+            c = unified_pass(c, dir_fwd == (t % 2 == 0))
         st = st._replace(amax=c["amax"], neval=c["neval"])
         return st, (c["ii"], c["jj"], c["kk"], c["qq"]), c["pivot"], c["acol"], c["arow"]
 
@@ -637,10 +668,15 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         quadrature values, and the strike-based stopping rule
         (dmrgg.f90:1010-1019) all run inside a lax.while_loop, eliminating
         per-sweep host round-trips (the tpu-first replacement for the
-        reference's per-iteration rank-0 reporting)."""
+        reference's per-iteration rank-0 reporting).
+
+        it0/strike0 allow a chunked-growth resume: the global iteration
+        counter drives the sweep direction alternation and the quiet-sweep
+        strike carries across rank-padding chunks (cross(rank_chunks=...))."""
 
         @jax.jit
-        def run_fn(st: CrossState, w):
+        def run_fn(st: CrossState, w, it0=jnp.asarray(1, jnp.int32),
+                   strike0=jnp.asarray(0, jnp.int32)):
             dt = st.amax.dtype
             vals0 = jnp.zeros((max_sweeps + 1,), dt)
             pmax0 = jnp.zeros((max_sweeps + 1,), dt)
@@ -649,27 +685,27 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                 vals0 = vals0.at[0].set(value_fn(st, w))
 
             def cond(carry):
-                st, it, strike, vals, pmax, nev, done = carry
+                st, t, strike, vals, pmax, nev, done = carry
                 return ~done
 
             def body(carry):
-                st, it, strike, vals, pmax, nev, done = carry
-                st = sweep_fn_inner(st, it)
+                st, t, strike, vals, pmax, nev, done = carry
+                st = sweep_fn_inner(st, it0 + t - 1)
                 if with_quad:
-                    vals = vals.at[it].set(value_fn(st, w))
-                pmax = pmax.at[it].set(st.pivotmax)
-                nev = nev.at[it].set(st.neval)
-                ready = it + 1 >= max_sweeps + 1
+                    vals = vals.at[t].set(value_fn(st, w))
+                pmax = pmax.at[t].set(st.pivotmax)
+                nev = nev.at[t].set(st.neval)
+                ready = t + 1 >= max_sweeps + 1
                 if accuracy is not None:
                     quiet = st.pivotmax <= accuracy * st.amax
                     strike = jnp.where(quiet, strike + 1, 0)
                     ready = ready | (strike >= 3)
-                return (st, it + 1, strike, vals, pmax, nev, ready)
+                return (st, t + 1, strike, vals, pmax, nev, ready)
 
-            init = (st, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
+            init = (st, jnp.asarray(1, jnp.int32), strike0,
                     vals0, pmax0, nev0, jnp.asarray(max_sweeps < 1))
-            st, it, strike, vals, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
-            return st, it - 1, vals, pmax, nev
+            st, t, strike, vals, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
+            return st, t - 1, vals, pmax, nev, strike
 
         return run_fn
 
@@ -689,7 +725,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             @jax.jit
             def full_fn(key, w):
                 st = init_fn(key)
-                st, last_it, vals, pmax, nev = run_fn(st, w)
+                st, last_it, vals, pmax, nev, _ = run_fn(st, w)
                 solved = finalize_fn(st)
                 ft = vals.dtype
                 packed = jnp.concatenate([
@@ -770,6 +806,7 @@ def cross(
     max_sweeps: int | None = None,
     small_element: float | None = None,
     small_pivot: float | None = None,
+    rank_chunks: Sequence[int] | str | None = None,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -780,6 +817,12 @@ def cross(
     when max accepted pivot <= accuracy * amax for 3 consecutive sweeps.
     pivoting: -1 full / 0 lottery / k>=1 rook with up to 2k passes.
     quad: optional per-mode weight vectors -> per-sweep value + convergence.
+    rank_chunks: rank-padding growth schedule (increasing, last = max_rank),
+    or "auto" for ~4 evenly spaced levels: early sweeps run at a small
+    padded rank so the ACTUAL evaluated batch sizes track the reference's
+    exact counts (~1.25x at 4 levels instead of ~R/rank per sweep); the
+    state is re-embedded between chunks (state.pad_state).  Each chunk
+    compiles its own executable.
     """
     n = tuple(int(x) for x in n)
     d = len(n)
@@ -817,6 +860,20 @@ def cross(
     if max_sweeps is None:
         max_sweeps = max_rank - 1
 
+    if rank_chunks is not None:
+        chunks = auto_chunks(max_rank) if rank_chunks == "auto" \
+            else [int(x) for x in rank_chunks]
+        if len(chunks) > 1:
+            if init_state is not None:
+                raise ValueError("rank_chunks cannot resume from init_state")
+            if chunks != sorted(set(chunks)) or chunks[-1] != max_rank or chunks[0] < 2:
+                raise ValueError(
+                    f"rank_chunks must be increasing, >= 2, ending at "
+                    f"max_rank={max_rank}; got {chunks}")
+            return _cross_chunked(fun, cfg, chunks, key, w, with_quad,
+                                  accuracy, truth, max_sweeps, verbose,
+                                  return_state, t0)
+
     fast = init_state is None and not return_state
     if fast:
         # one device dispatch + one small packed transfer (see make_full_fn)
@@ -839,7 +896,7 @@ def cross(
         # tt.serialize.save_state / load_state)
         st = init_fn(key) if init_state is None else init_state
         run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
-        st, last_it, vals, pmax, nev = run_fn(st, w)
+        st, last_it, vals, pmax, nev, _ = run_fn(st, w)
         last_it = int(last_it)
         vals = np.asarray(vals)
         pmax = np.asarray(pmax)
@@ -878,6 +935,116 @@ def cross(
         ranks=tuple(int(x) for x in rk),
         values=values, errors=errors,
         time=time.perf_counter() - t0, converged=converged, history=history,
+        padded_evals=_padded_evals(cfg, [(cfg.R, last_it)]),
+    )
+    if return_state:
+        res.state = st
+    return res
+
+
+def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
+                   accuracy, truth, max_sweeps, verbose, return_state, t0):
+    """Chunked rank-padding growth: run the sweep loop at increasing padded
+    ranks, re-embedding the state between chunks (state.pad_state).  The
+    global iteration counter and the quiet-sweep strike carry across chunks
+    so sweep directions and the stopping rule match the single-chunk run."""
+    from .state import pad_state
+
+    pad_jit = jax.jit(pad_state, static_argnums=1)  # one dispatch per chunk
+
+    d = cfg.d
+    # sweeps per chunk: rank grows at most 1 per sweep, so chunk c covers
+    # sweeps while rank <= chunks[c]
+    lens = [chunks[0] - 1] + [b - a for a, b in zip(chunks[:-1], chunks[1:])]
+    total = sum(lens)
+    if max_sweeps < total:       # trim the schedule to the sweep budget
+        cut, acc_len = [], 0
+        for Rc, lc in zip(chunks, lens):
+            lc = min(lc, max_sweeps - acc_len)
+            if lc <= 0:
+                break
+            cut.append((Rc, lc))
+            acc_len += lc
+        plan = cut
+    else:                        # surplus sweeps extend the last chunk
+        lens[-1] += max_sweeps - total
+        plan = list(zip(chunks, lens))
+
+    st = None
+    it0, strike = 1, 0
+    vals_parts, pmax_parts, nev_parts = [], [], []
+    v0 = None
+    chunk_sweeps = []
+    kit_c = None
+    for ci, (Rc, len_c) in enumerate(plan):
+        cfg_c = CrossConfig(d=cfg.d, n=cfg.n, N=cfg.N, R=Rc, piv=cfg.piv,
+                            small_element=cfg.small_element,
+                            small_pivot=cfg.small_pivot, snum=cfg.snum,
+                            use_pallas=cfg.use_pallas)
+        kit_c = get_engine(fun, cfg_c)
+        if ci == 0:
+            st = kit_c.init_fn(key)
+        else:
+            st = pad_jit(st, Rc)
+        run_fn = kit_c.make_run_fn(len_c, with_quad, accuracy)
+        st, t_last, vals, pmax, nev, strike = run_fn(
+            st, w, jnp.asarray(it0, jnp.int32), jnp.asarray(strike, jnp.int32))
+        t_last = int(t_last)
+        strike = int(strike)
+        vals = np.asarray(vals)
+        if ci == 0:
+            v0 = vals[0]
+        vals_parts.append(vals[1: t_last + 1])
+        pmax_parts.append(np.asarray(pmax)[1: t_last + 1])
+        nev_parts.append(np.asarray(nev)[1: t_last + 1])
+        chunk_sweeps.append((Rc, t_last))
+        it0 += t_last
+        if t_last < len_c or (accuracy is not None and strike >= 3):
+            break
+
+    last_it = it0 - 1
+    vals = np.concatenate([[v0]] + vals_parts) if with_quad else \
+        np.zeros(last_it + 1)
+    pmax = np.concatenate([[0.0]] + pmax_parts)
+    nev = np.concatenate([[0]] + nev_parts).astype(np.int64)
+    rk = np.asarray(st.rk)
+    neval = int(st.neval)
+
+    values, errors = [], []
+    if with_quad:
+        values = list(vals[: last_it + 1])
+        for i in range(1, last_it + 1):
+            if truth is not None:
+                errors.append(abs(1.0 - vals[i] / truth))
+            else:
+                prev = vals[i - 1]
+                errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    converged = accuracy is not None and strike >= 3
+
+    from ..utils.metrics import history_from_run
+
+    history = history_from_run(last_it, vals, pmax, nev, truth, with_quad)
+    if verbose:
+        for rec in history:
+            line = (f"{rec.it:3d}{rec.direction} n_evals: {rec.n_evals:10d} "
+                    f"pivotmax {rec.pivotmax:9.3e}")
+            if rec.err is not None:
+                line += f" err {rec.err:9.3e} val {rec.value:.14e}"
+            elif rec.cnv is not None:
+                line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
+            print(line)
+
+    cfg_last = CrossConfig(d=cfg.d, n=cfg.n, N=cfg.N, R=chunk_sweeps[-1][0],
+                           piv=cfg.piv, small_element=cfg.small_element,
+                           small_pivot=cfg.small_pivot, snum=cfg.snum,
+                           use_pallas=cfg.use_pallas)
+    tt = finalize(st, cfg_last, kit_c)
+    res = CrossResult(
+        tt=tt, neval=neval, sweeps=last_it,
+        ranks=tuple(int(x) for x in rk),
+        values=values, errors=errors,
+        time=time.perf_counter() - t0, converged=converged, history=history,
+        padded_evals=_padded_evals(cfg, chunk_sweeps),
     )
     if return_state:
         res.state = st

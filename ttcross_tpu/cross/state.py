@@ -40,6 +40,42 @@ class CrossState(NamedTuple):
     key: jax.Array     # PRNG key
 
 
+def pad_state(st: CrossState, R_new: int) -> CrossState:
+    """Embed a CrossState padded at rank R into padding R_new > R (chunked
+    rank growth: early sweeps run at small padded rank so padded fiber
+    batches stay close to the reference's exact evaluation counts, then the
+    state is re-embedded and the run continues at the next chunk size).
+
+    Zero-padding everywhere except: lu_d pads with ones and the maintained
+    triangular inverses pad block-diagonally with the identity ([[M, 0],
+    [0, I]] keeps L^-1 / T^-1 exact for the enlarged unit-triangular
+    factors)."""
+    R = st.vip.shape[1]
+    if R_new == R:
+        return st
+    if R_new < R:
+        raise ValueError(f"cannot shrink padding {R} -> {R_new}")
+    dR = R_new - R
+    dt = st.cores.dtype
+
+    def pad4(a):  # (d, R, N, R) -> (d, R_new, N, R_new)
+        return jnp.pad(a, ((0, 0), (0, dR), (0, 0), (0, dR)))
+
+    eye_tail = jnp.diag(jnp.where(jnp.arange(R_new) >= R, 1.0, 0.0)).astype(dt)
+
+    def pad_inv(a):  # (d-1, R, R) -> block-diag with identity tail
+        return jnp.pad(a, ((0, 0), (0, dR), (0, dR))) + eye_tail[None]
+
+    return st._replace(
+        cores=pad4(st.cores), colf=pad4(st.colf), rowf=pad4(st.rowf),
+        vip=jnp.pad(st.vip, ((0, 0), (0, dR), (0, 0))),
+        lu_c=jnp.pad(st.lu_c, ((0, 0), (0, dR), (0, dR))),
+        lu_u=jnp.pad(st.lu_u, ((0, 0), (0, dR), (0, dR))),
+        lu_d=jnp.pad(st.lu_d, ((0, 0), (0, dR)), constant_values=1.0),
+        itl=pad_inv(st.itl), itt=pad_inv(st.itt),
+    )
+
+
 def empty_state(d: int, N: int, R: int, key, dtype=jnp.float64) -> CrossState:
     z4 = jnp.zeros((d, R, N, R), dtype)
     return CrossState(
