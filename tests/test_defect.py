@@ -58,3 +58,20 @@ def test_defect_corrected_c6_beyond_f64():
                                           wh, wl, max_rank=32, max_rank2=48)
     digits = _digits(hi, lo, ISING_C_STR[6])
     assert digits >= 15.5, digits
+
+
+def test_defect_corrected_on_mesh():
+    """Parallel defect correction: both crosses run on a 2-device bond mesh
+    and reach beyond-f64 accuracy (the distributed analogue of the
+    reference's MPI mp tier)."""
+    import jax
+
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=33)
+    hi, lo, info = cross_defect_corrected(
+        prob.fun, fun_dd, [prob.n] * prob.d, wh, wl,
+        max_rank=16, accuracy=500 * 2.2e-16, pivoting=1,
+        mesh=bond_mesh(jax.devices()[:2]))
+    digits = _digits(hi, lo, ISING_C_STR[4])
+    assert digits >= 16, digits

@@ -104,3 +104,56 @@ def test_parallel_pivot_modes(rng, pivoting):
                          accuracy=1e-12, mesh=mesh)
     approx = np.asarray(tt.full(res.tt))
     assert np.abs(approx - dense).max() < 1e-10
+
+
+def _dd_digits(value, tru_str):
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 60
+    got = Decimal(value[0]) + Decimal(value[1])
+    rel = abs(1 - got / Decimal(tru_str))
+    return float(-rel.log10()) if rel != 0 else 60.0
+
+
+def test_parallel_dd_matches_single_device():
+    """Distributed dd cross (parallel/engine_dd.py, the mp engine's MPI
+    path, dmrggmp.f90:518-629): 2-device mesh matches the single-device dd
+    engine's accuracy envelope on Ising C_4."""
+    from ttcross_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from ttcross_tpu.apps.ising import make_ising_dd
+    from ttcross_tpu.apps.truths import ISING_C_STR
+    from ttcross_tpu.cross.engine_dd import cross_dd
+    from ttcross_tpu.parallel import cross_dd_parallel
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=33)
+    single = cross_dd(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=12, pivoting=1)
+    par = cross_dd_parallel(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=12,
+                            pivoting=1, mesh=bond_mesh(jax.devices()[:2]))
+    ds = _dd_digits(single.value, ISING_C_STR[4])
+    dp = _dd_digits(par.value, ISING_C_STR[4])
+    assert dp >= 11, (dp, ds)
+    assert abs(dp - ds) < 4, (dp, ds)   # same envelope, stochastic pivots
+    assert par.ranks == single.ranks
+
+
+@pytest.mark.slow
+def test_parallel_dd_8dev_long_chain():
+    """8-device dd cross of Ising C_16 (d=15): the full mesh works beyond
+    toy sizes (measured 8.9 digits at rank 10 / n=17)."""
+    from ttcross_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from ttcross_tpu.apps.ising import make_ising_dd
+    from ttcross_tpu.apps.truths import ISING_C_STR
+    from ttcross_tpu.parallel import cross_dd_parallel
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    prob, fun_dd, wh, wl = make_ising_dd(m=16, n=17)
+    res = cross_dd_parallel(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=10,
+                            pivoting=1, mesh=bond_mesh(jax.devices()[:8]))
+    assert _dd_digits(res.value, ISING_C_STR[16]) >= 7

@@ -51,7 +51,7 @@ def cross_defect_corrected(
     max_rank: int = 24, max_rank2: int | None = None,
     levels: int = 2,
     accuracy: float = 1e-13, pivoting: int = 1, key: int = 0,
-    verbose: bool = False,
+    verbose: bool = False, mesh=None,
 ):
     """Multi-level defect-corrected cross quadrature.
 
@@ -60,6 +60,9 @@ def cross_defect_corrected(
     quadrature weights.  levels: number of crosses (2 = classic defect
     correction; 3 adds a second correction over A - TT1 - TT2, limited
     by the ~1e-31 absolute noise of dd evaluation).
+    mesh: optional 1-D bond mesh — every level's cross then runs on the
+    distributed engine (the reference's mp tier is MPI-parallel,
+    dmrggmp.f90:518-629; this is its defect-corrected analogue).
     Returns (hi, lo, info)."""
     n = [int(x) for x in n]
     max_rank2 = max_rank2 or max_rank
@@ -74,8 +77,15 @@ def cross_defect_corrected(
         else:
             f = _Defect(fun_dd, trains)
             r = max_rank2
-        res = cross(f, n, max_rank=r, accuracy=accuracy,
-                    pivoting=pivoting, key=k, verbose=verbose)
+        if mesh is not None:
+            from ..parallel import cross_parallel
+
+            res = cross_parallel(f, n, max_rank=r, accuracy=accuracy,
+                                 pivoting=pivoting, key=k, mesh=mesh,
+                                 verbose=verbose)
+        else:
+            res = cross(f, n, max_rank=r, accuracy=accuracy,
+                        pivoting=pivoting, key=k, verbose=verbose)
         trains.append(res.tt)
         nevals.append(res.neval)
         ranks.append(res.ranks)

@@ -71,6 +71,19 @@ class DDCrossResult:
     ranks: tuple
 
 
+class DDKit(NamedTuple):
+    """Compiled dd-engine phases + the per-bond kernels the distributed dd
+    engine (parallel/engine_dd.py) builds on."""
+
+    init_fn: Callable
+    sweep_fn: Callable
+    finalize_fn: Callable
+    visit_bond: Callable
+    eval_col: Callable
+    eval_row: Callable
+    cfg: "DDConfig"
+
+
 def _ddz(shape):
     return DD(jnp.zeros(shape), jnp.zeros(shape))
 
@@ -209,7 +222,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         m = (iR < st.rk[p + 1]).astype(x.hi.dtype)
         return DD(x.hi * m, x.lo * m)
 
-    def visit_bond(st: DDState, p, dir_fwd, ltab, rtab) -> DDState:
+    def visit_bond(st: DDState, p, dir_fwd, ltab, rtab, own_lo=0, own_hi=d - 1):
         key, sub1, sub2 = jax.random.split(st.key, 3)
         colmask = ((iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])).reshape(-1)
         rowmask = ((iR[:, None] < st.rk[p + 2]) & (iN[None, :] < n_arr[p + 1])).reshape(-1)
@@ -304,6 +317,18 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
                & (jnp.abs(pivot.hi) > cfg.small_pivot * st.pivotmax_prev)
                & (st.rk[p + 1] < R))
 
+        # tape rows for the distributed engine (parallel/engine_dd.py):
+        # (accepted, i, j, k, q) ints + dd borders and pivot so replicas
+        # replay vip / rk / maintained inverses exactly (the dd analogue of
+        # the f64 engine's extended tape; reference: dmrgg.f90:598-604)
+        s0 = st.rk[p + 1].astype(jnp.int32)
+        rmask0 = (iR < s0).astype(jnp.float64)
+        c_b = DD(colf_p.hi[ii, jj, :] * rmask0, colf_p.lo[ii, jj, :] * rmask0)
+        u_b = DD(rowf_p1.hi[:, kk, qq] * rmask0, rowf_p1.lo[:, kk, qq] * rmask0)
+        tape_i = jnp.where(upd, jnp.stack([1, ii, jj, kk, qq]).astype(jnp.int32), 0)
+        tape_f = jnp.where(upd, jnp.concatenate(
+            [c_b.hi, c_b.lo, u_b.hi, u_b.lo, pivot.hi[None], pivot.lo[None]]), 0.0)
+
         def accept(st: DDState) -> DDState:
             z = jnp.int32(0)
             pz = jnp.asarray(p, jnp.int32)
@@ -350,21 +375,21 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
                 rfp = _dus(_at_dd(rowf, p), DD(slc.hi[:, :, None], slc.lo[:, :, None]), (z, z, s))
                 return _dus(rowf, DD(rfp.hi[None], rfp.lo[None]), (pz, z, z, z))
 
-            rowf = jax.lax.cond(pz > 0, left_rows, lambda r: r, rowf)
+            rowf = jax.lax.cond(pz > own_lo, left_rows, lambda r: r, rowf)
 
             def right_cols(colf):
                 slc = _mm_right(arow, _at_dd(itt, jnp.minimum(pz + 1, d - 2)))
                 cfp = _dus(_at_dd(colf, p + 1), DD(slc.hi[None], slc.lo[None]), (s, z, z))
                 return _dus(colf, DD(cfp.hi[None], cfp.lo[None]), (pz + 1, z, z, z))
 
-            colf = jax.lax.cond(pz < d - 2, right_cols, lambda c: c, colf)
+            colf = jax.lax.cond(pz < own_hi - 1, right_cols, lambda c: c, colf)
 
             apiv = jnp.abs(pivot.hi)
             pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
             return st._replace(cores=cores, colf=colf, rowf=rowf, itl=itl, itt=itt,
                                rk=st.rk.at[p + 1].add(1), vip=vip, pivotmax=pivotmax)
 
-        return jax.lax.cond(upd, accept, lambda s: s, st)
+        return jax.lax.cond(upd, accept, lambda s: s, st), tape_i, tape_f
 
     @jax.jit
     def sweep_fn(st: DDState, it) -> DDState:
@@ -379,7 +404,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
             p = jnp.where(dir_fwd, idx, d - 2 - idx)
             ltab = jnp.where(dir_fwd, tab, _at(LT, p))
             rtab = jnp.where(dir_fwd, _at(RT, p), tab)
-            s = visit_bond(s, p, dir_fwd, ltab, rtab)
+            s = visit_bond(s, p, dir_fwd, ltab, rtab)[0]
             vip_p = _at(s.vip, p)
             tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
                             advance_right(tab, vip_p, p - 1))
@@ -407,11 +432,39 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
 
         return jax.lax.fori_loop(0, d, one, _ddz((d, R, N, R)))
 
-    return init_fn, sweep_fn, finalize_fn
+    return DDKit(init_fn=init_fn, sweep_fn=sweep_fn, finalize_fn=finalize_fn,
+                 visit_bond=visit_bond, eval_col=eval_col, eval_row=eval_row,
+                 cfg=cfg)
 
 
 _DD_CACHE: dict = {}
 _DD_PINS: list = []
+
+
+def get_dd_engine(fun_dd: Callable, cfg: DDConfig) -> "DDKit":
+    target = getattr(fun_dd, "__self__", fun_dd)
+    ck = (id(target), getattr(fun_dd, "__name__", None), cfg)
+    if ck not in _DD_CACHE:
+        _DD_PINS.append(target)
+        _DD_CACHE[ck] = _make_engine(fun_dd, cfg)
+    return _DD_CACHE[ck]
+
+
+def dd_quad_cores(cores_hi, cores_lo, weights_hi, weights_lo) -> tuple:
+    """dd quadrature of a dd train (mptt_quad, dmrggmp.f90:778-888):
+    contract each core against its dd weight vector and chain the (r, r)
+    products left to right."""
+    vh = jnp.ones((1,))
+    vl = jnp.zeros((1,))
+    for c in range(len(cores_hi)):
+        G = DD(jnp.asarray(cores_hi[c]), jnp.asarray(cores_lo[c]))
+        W = DD(jnp.asarray(weights_hi[c]), jnp.asarray(weights_lo[c]))
+        prod = dd_mul(G, DD(W.hi[None, :, None], W.lo[None, :, None]))
+        M = dd_sum(prod, axis=1)
+        prod = dd_mul(DD(vh[:, None], vl[:, None]), M)
+        v = dd_sum(prod, axis=0)
+        vh, vl = v.hi, v.lo
+    return (float(vh[0]), float(vl[0]))
 
 
 def cross_dd(
@@ -432,12 +485,8 @@ def cross_dd(
     d = len(n)
     cfg = DDConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                    small_element=small_element, small_pivot=small_pivot)
-    target = getattr(fun_dd, "__self__", fun_dd)
-    ck = (id(target), getattr(fun_dd, "__name__", None), cfg)
-    if ck not in _DD_CACHE:
-        _DD_PINS.append(target)
-        _DD_CACHE[ck] = _make_engine(fun_dd, cfg)
-    init_fn, sweep_fn, finalize_fn = _DD_CACHE[ck]
+    kit = get_dd_engine(fun_dd, cfg)
+    init_fn, sweep_fn, finalize_fn = kit.init_fn, kit.sweep_fn, kit.finalize_fn
 
     st = init_fn(jax.random.PRNGKey(key) if isinstance(key, int) else key)
     strike = 0
@@ -465,17 +514,7 @@ def cross_dd(
     cores_lo = [sl[c][: rk[c], : n[c], : rk[c + 1]] for c in range(d)]
 
     # dd quadrature of the dd train (mptt_quad)
-    vh = jnp.ones((1,))
-    vl = jnp.zeros((1,))
-    for c in range(d):
-        G = DD(jnp.asarray(cores_hi[c]), jnp.asarray(cores_lo[c]))
-        W = DD(jnp.asarray(weights_hi[c]), jnp.asarray(weights_lo[c]))
-        prod = dd_mul(G, DD(W.hi[None, :, None], W.lo[None, :, None]))
-        M = dd_sum(prod, axis=1)
-        prod = dd_mul(DD(vh[:, None], vl[:, None]), M)
-        v = dd_sum(prod, axis=0)
-        vh, vl = v.hi, v.lo
-    value = (float(vh[0]), float(vl[0]))
+    value = dd_quad_cores(cores_hi, cores_lo, weights_hi, weights_lo)
 
     return DDCrossResult(cores_hi=cores_hi, cores_lo=cores_lo, value=value,
                          neval=int(st.neval), sweeps=it,
