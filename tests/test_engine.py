@@ -153,3 +153,17 @@ def test_pad_state_preserves_semantics(rng):
     tt8 = finalize(st8, cfg8)
     approx = np.asarray(tt.full(tt8))
     assert np.abs(approx - dense).max() < 1e-11
+
+
+def test_weighted_lottery(rng):
+    """lottery2's arbitrary-weights path (rnd.f90:105-126): quadrature-
+    weighted candidate draws still recover the tensor exactly."""
+    from ttcross_tpu.apps import make_mvn
+
+    prob = make_mvn(d=4, n=33)
+    res = cross(prob.fun, [prob.n] * 4, max_rank=10, pivoting=1,
+                accuracy=500 * 2.2e-16, quad=[prob.quad_weights] * 4,
+                truth=1.0, weighted_lottery=True)
+    assert -np.log10(res.errors[-1]) > 3
+    with pytest.raises(ValueError):
+        cross(prob.fun, [prob.n] * 4, max_rank=4, weighted_lottery=True)

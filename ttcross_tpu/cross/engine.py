@@ -50,6 +50,8 @@ class CrossConfig:
     small_pivot: float
     snum: int = 8        # shifted diagonals in the initial search (smin, dmrgg.f90:29)
     use_pallas: bool = False  # f32 Pallas superblock scoring in full pivoting (TPU)
+    wlot: bool = False   # weight the lottery by the quadrature weights
+                         # (lottery2's arbitrary-weights path, rnd.f90:105-126)
 
 
 class EngineKit(NamedTuple):
@@ -256,7 +258,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         q = jnp.floor((lin.astype(jnp.float64) + 0.5) * (1.0 / den)).astype(lin.dtype)
         return q, lin - q * den
 
-    def _hunt_lottery(st: CrossState, p, ltab, rtab, u2):
+    def _hunt_lottery(st: CrossState, p, ltab, rtab, u2, lw=None):
         """Weighted lottery over candidate rows/cols (lottery2, rnd.f90:105-126;
         dmrgg.f90:410-487), residual scoring, seed pivot.
 
@@ -264,7 +266,11 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         sweep; a per-visit randint with a traced bound lowers to u64
         dynamic-modulo = bit-serial division loops on TPU).  Inverse-CDF
         draw over the allowed set, exactly lottery2's real-valued scheme
-        (find_d, rnd.f90:128-144)."""
+        (find_d, rnd.f90:128-144).
+
+        lw (d, N): optional per-mode lottery weights (cfg.wlot) — candidate
+        (i, j) draws with probability ~ lw[p, j], rows with ~ lw[p+1, k],
+        exercising lottery2's arbitrary-weights path."""
         dt = st.cores.dtype
 
         # layouts: columns (i, j) flattened i*N + j; rows (q, k) flattened q*N + k
@@ -275,16 +281,19 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         smask = iR < st.rk[p + 1]
         used_col = jnp.zeros((R * N,), bool).at[vb[:, 0] * N + vb[:, 1]].max(smask)
         used_row = jnp.zeros((N * R,), bool).at[vb[:, 3] * N + vb[:, 2]].max(smask)
-        wcol = colmask & ~used_col
-        wrow = rowmask & ~used_row
-        # uniform draw over the allowed sets via cumsum + searchsorted: the
-        # lottery weights are uniform (lottery2 with 0/1 weights,
-        # dmrgg.f90:424-439), so Gumbel sampling would waste ~R*N f64
-        # transcendentals per draw
-        cdf_c = jnp.cumsum(wcol.astype(jnp.float64))
-        cdf_r = jnp.cumsum(wrow.astype(jnp.float64))
-        t_c = u2[0] * jnp.maximum(cdf_c[-1], 1.0)
-        t_r = u2[1] * jnp.maximum(cdf_r[-1], 1.0)
+        wcol = (colmask & ~used_col).astype(jnp.float64)
+        wrow = (rowmask & ~used_row).astype(jnp.float64)
+        if cfg.wlot and lw is not None:
+            wcol = wcol * jnp.tile(jnp.abs(_at(lw, p)), R)
+            wrow = wrow * jnp.tile(jnp.abs(_at(lw, p + 1)), R)
+        # draw over the allowed sets via cumsum + searchsorted (inverse
+        # CDF); with unit weights (the reference's default 0/1 lottery,
+        # dmrgg.f90:424-439) this is a uniform draw without the ~R*N f64
+        # Gumbel transcendentals per candidate
+        cdf_c = jnp.cumsum(wcol)
+        cdf_r = jnp.cumsum(wrow)
+        t_c = u2[0] * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0)
+        t_r = u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0)
         lin_c = jnp.searchsorted(cdf_c, t_c, side="right").astype(jnp.int_)
         lin_r = jnp.searchsorted(cdf_r, t_r, side="right").astype(jnp.int_)
         i_c, j_c = _decode_div(lin_c, N)
@@ -559,7 +568,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                            pivotmax=pivotmax, pivotmin=pivotmin)
 
     def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1,
-                   ltab=None, rtab=None, u2=None):
+                   ltab=None, rtab=None, u2=None, lw=None):
         """Hunt + (maybe) accept at bond p.  Returns (state, tape_i, tape_f):
         tape_i (5,) int32 = (accepted, ii, jj, kk, qq); tape_f (2R+1,) =
         (c border, u border, pivot) — the per-sweep record the distributed
@@ -580,7 +589,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         if cfg.piv == -1:
             st, piv_idx, pivot, acol, arow = _hunt_full(st, p, ltab, rtab)
         else:
-            st, seed, pivot0 = _hunt_lottery(st, p, ltab, rtab, u2)
+            st, seed, pivot0 = _hunt_lottery(st, p, ltab, rtab, u2, lw)
             if cfg.piv == 0:
                 st, piv_idx, pivot, acol, arow = _hunt_piv0(st, p, ltab, rtab, seed, pivot0)
             else:
@@ -598,7 +607,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         st = _accept(st, p, piv_idx, pivot, acol, arow, own_lo, own_hi, upd)
         return st, tape_i, tape_f
 
-    def sweep_fn_inner(st: CrossState, it) -> CrossState:
+    def sweep_fn_inner(st: CrossState, it, lw=None) -> CrossState:
         """One full sweep over all bonds (dmrgg.f90:314-760);
         '>>' on odd iterations (dmrgg.f90:316).
 
@@ -621,7 +630,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             p = jnp.where(dir_fwd, idx, d - 2 - idx)
             ltab = jnp.where(dir_fwd, tab, _at(LT, p))
             rtab = jnp.where(dir_fwd, _at(RT, p), tab)
-            s = visit_bond(s, p, dir_fwd, ltab=ltab, rtab=rtab, u2=_at(U, p))[0]
+            s = visit_bond(s, p, dir_fwd, ltab=ltab, rtab=rtab, u2=_at(U, p), lw=lw)[0]
             vip_p = _at(s.vip, p)
             tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
                             advance_right(tab, vip_p, p - 1))
@@ -690,7 +699,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
             def body(carry):
                 st, t, strike, vals, pmax, nev, done = carry
-                st = sweep_fn_inner(st, it0 + t - 1)
+                st = sweep_fn_inner(st, it0 + t - 1, w if cfg.wlot else None)
                 if with_quad:
                     vals = vals.at[t].set(value_fn(st, w))
                 pmax = pmax.at[t].set(st.pivotmax)
@@ -807,6 +816,7 @@ def cross(
     small_element: float | None = None,
     small_pivot: float | None = None,
     rank_chunks: Sequence[int] | str | None = None,
+    weighted_lottery: bool = False,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -839,8 +849,11 @@ def cross(
         se = float(small_element)
     if small_pivot is not None:
         sp = float(small_pivot)
+    if weighted_lottery and quad is None:
+        raise ValueError("weighted_lottery requires quad weights")
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
-                      small_element=se, small_pivot=sp, use_pallas=use_pallas)
+                      small_element=se, small_pivot=sp, use_pallas=use_pallas,
+                      wlot=bool(weighted_lottery))
     kit = get_engine(fun, cfg)
     init_fn, value_fn, make_run_fn = kit.init_fn, kit.value_fn, kit.make_run_fn
 
@@ -980,7 +993,7 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
         cfg_c = CrossConfig(d=cfg.d, n=cfg.n, N=cfg.N, R=Rc, piv=cfg.piv,
                             small_element=cfg.small_element,
                             small_pivot=cfg.small_pivot, snum=cfg.snum,
-                            use_pallas=cfg.use_pallas)
+                            use_pallas=cfg.use_pallas, wlot=cfg.wlot)
         kit_c = get_engine(fun, cfg_c)
         if ci == 0:
             st = kit_c.init_fn(key)
@@ -1037,7 +1050,7 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
     cfg_last = CrossConfig(d=cfg.d, n=cfg.n, N=cfg.N, R=chunk_sweeps[-1][0],
                            piv=cfg.piv, small_element=cfg.small_element,
                            small_pivot=cfg.small_pivot, snum=cfg.snum,
-                           use_pallas=cfg.use_pallas)
+                           use_pallas=cfg.use_pallas, wlot=cfg.wlot)
     tt = finalize(st, cfg_last, kit_c)
     res = CrossResult(
         tt=tt, neval=neval, sweeps=last_it,
