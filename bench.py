@@ -19,6 +19,54 @@ import numpy as np
 NOMINAL_REF_EVALS_PER_SEC = 1.0e6
 
 
+def main_parallel(ndevs):
+    """`bench.py --parallel [ndev ...]`: distributed-engine scaling on the
+    virtual CPU mesh (the `mpirun -np N` benchmark channel; real multi-chip
+    hardware is not available in this image — virtual devices share the
+    host's cores, so this measures collective/sharding overhead and
+    correctness at scale, not true speedup).  Default ndevs: 1 2 4 8."""
+    import os
+
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            xla_bridge._clear_backends()
+    except Exception:
+        pass
+    import ttcross_tpu  # noqa: F401
+    from ttcross_tpu.apps import make_ising
+    from ttcross_tpu.cross import cross
+    from ttcross_tpu.parallel import cross_parallel
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    prob = make_ising("C", m=32, n=16)   # d=31: 30 bonds, divisible slabs
+    args = dict(max_rank=8, accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    rows = []
+    for ndev in ndevs:
+        for rep in range(2):             # second call = steady (cached compile)
+            t0 = time.time()
+            if ndev == 1:
+                res = cross(prob.fun, [prob.n] * prob.d, **args)
+            else:
+                res = cross_parallel(prob.fun, [prob.n] * prob.d,
+                                     mesh=bond_mesh(jax.devices()[:ndev]), **args)
+            wall = time.time() - t0
+        digits = -np.log10(res.errors[-1]) if res.errors else float("nan")
+        rows.append({"ndev": ndev, "wall_s": round(wall, 3),
+                     "sweep_ms": round(1e3 * wall / max(res.sweeps, 1), 1),
+                     "digits": round(float(digits), 2),
+                     "n_evals": int(res.neval), "sweeps": res.sweeps})
+        print(json.dumps({"metric": "ising_c32_parallel_scaling", **rows[-1]}))
+    return 0
+
+
 def main():
     import ttcross_tpu  # noqa: F401  (x64)
     import jax
@@ -68,4 +116,7 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--parallel":
+        nd = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+        sys.exit(main_parallel(nd))
     sys.exit(main())
