@@ -4,7 +4,9 @@ f64 (the role of the reference's MPFUN tier, SURVEY.md §2.3)."""
 
 from fractions import Fraction
 
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import ttcross_tpu  # noqa: F401
 import ttcross_tpu.tt as tt
@@ -119,3 +121,69 @@ def test_dd_string_roundtrip():
     hi, lo = dd_from_string("0.648634209031007075263149843450351690889772509481627995615")
     s = dd_to_string(DD(np.float64(hi), np.float64(lo)), digits=30)
     assert s.startswith("6.4863420903100707526314984345")
+
+
+def test_dd_exp_accuracy():
+    """Device dd exponential: full dd accuracy on the CPU backend
+    (range reduction + Taylor + 9 squarings + exact 2^k construction —
+    jnp.exp2 is inexact on this stack, see ops/dd.py)."""
+    from decimal import Decimal, getcontext
+
+    from ttcross_tpu.ops.dd import dd, dd_exp
+
+    getcontext().prec = 50
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(-300, 10, size=100)
+    r = dd_exp(dd(jnp.asarray(xs)))
+    for i, x in enumerate(xs):
+        exact = Decimal(x).exp()
+        got = Decimal(float(r.hi[i])) + Decimal(float(r.lo[i]))
+        assert abs(float((got - exact) / exact)) < 1e-28, x
+
+
+def test_dd_log_accuracy():
+    from decimal import Decimal, getcontext
+
+    from ttcross_tpu.ops.dd import dd, dd_log
+
+    getcontext().prec = 50
+    rng = np.random.default_rng(4)
+    xs = rng.uniform(1e-10, 1e10, size=100)
+    r = dd_log(dd(jnp.asarray(xs)))
+    for i, x in enumerate(xs):
+        exact = Decimal(x).ln()
+        got = Decimal(float(r.hi[i])) + Decimal(float(r.lo[i]))
+        assert abs(float((got - exact) / exact)) < 1e-29, x
+
+
+def test_dd_exp_log_roundtrip():
+    from ttcross_tpu.ops.dd import dd, dd_exp, dd_log, dd_sub, dd_to_float
+
+    xs = jnp.asarray([0.5, 2.0, 10.0, 100.0])
+    back = dd_log(dd_exp(dd(xs)))
+    err = np.abs(np.asarray(dd_to_float(dd_sub(back, dd(xs)))))
+    assert err.max() < 1e-28
+
+
+def test_stdnorm_dd_defect_pipeline():
+    """Defect correction with a transcendental dd integrand (device dd exp):
+    beyond-f64 accuracy on the product Gaussian."""
+    from decimal import Decimal, getcontext
+
+    from ttcross_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from ttcross_tpu.apps.stdnorm import make_stdnorm_dd
+    from ttcross_tpu.apps.truths import TPI_STR
+    from ttcross_tpu.cross.defect import cross_defect_corrected
+
+    getcontext().prec = 60
+    d = 4
+    prob, fun_dd, wh, wl = make_stdnorm_dd(d=d, n=65)
+    hi, lo, info = cross_defect_corrected(
+        prob.fun, fun_dd, [prob.n] * d, wh, wl,
+        max_rank=6, accuracy=5 * 2.2e-16, pivoting=1)
+    tru = (Decimal(TPI_STR) / 2) ** (d // 2)
+    rel = abs(1 - (Decimal(hi) + Decimal(lo)) / tru)
+    assert float(-rel.log10()) >= 14.5

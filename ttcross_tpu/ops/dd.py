@@ -25,7 +25,7 @@ import numpy as np
 __all__ = ["DD", "dd", "two_sum", "two_prod", "dd_add", "dd_sub", "dd_mul",
            "dd_div", "dd_neg", "dd_abs", "dd_sum", "dd_dot", "dd_matvec",
            "dd_matmul", "dd_to_float", "dd_from_string", "dd_to_string",
-           "dd_contract", "dd_gather_tt"]
+           "dd_contract", "dd_gather_tt", "dd_exp", "dd_log"]
 
 _SPLIT = 134217729.0  # 2^27 + 1, Dekker splitting constant for binary64
 
@@ -144,6 +144,112 @@ def dd_matmul(Ah, Al, Bh, Bl) -> DD:
     mpblas.f90); shapes (m, k) x (k, n)."""
     prods = dd_mul(DD(Ah[:, :, None], Al[:, :, None]), DD(Bh[None], Bl[None]))
     return dd_sum(prods, axis=1)
+
+
+def _dd_const(s: str) -> tuple[float, float]:
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 60
+    v = Decimal(s)
+    hi = float(v)
+    return hi, float(v - Decimal(hi))
+
+
+_LN2_HI, _LN2_LO = _dd_const(
+    "0.69314718055994530941723212145817656807550013436025525412068")
+# 1/k! as exact dd pairs, k = 2..16 (Taylor tail of exp on |r| <= ln2/1024)
+import math as _math  # noqa: E402
+from decimal import Decimal as _Dec, getcontext as _gc  # noqa: E402
+
+_gc().prec = 60
+_INV_FACT = []
+for _k in range(2, 17):
+    _v = _Dec(1) / _Dec(_math.factorial(_k))
+    _h = float(_v)
+    _INV_FACT.append((_h, float(_v - _Dec(_h))))
+
+
+def dd_exp(x: DD) -> DD:
+    """Device dd exponential: range reduction x = k ln2 + r, scale r by
+    2^-9, Taylor series to dd accuracy, 9 repeated squarings, ldexp by k
+    (the qd-library scheme; the device-side mirror of MPFUN's mp exp,
+    enabling dd integrands like exp(-sum x^2) to run on device instead of
+    the rational-only path).  Elementwise over any shape."""
+    k = jnp.round(x.hi / _LN2_HI)
+    ln2 = DD(jnp.full_like(x.hi, _LN2_HI), jnp.full_like(x.hi, _LN2_LO))
+    r = dd_sub(x, dd_mul(dd(k), ln2))
+    r = DD(r.hi * (1.0 / 512.0), r.lo * (1.0 / 512.0))   # exact: power of 2
+    # Horner over 1/k! tail, then + r + 1
+    ph = jnp.full_like(x.hi, _INV_FACT[-1][0])
+    pl = jnp.full_like(x.hi, _INV_FACT[-1][1])
+    p = DD(ph, pl)
+    for ch, cl in reversed(_INV_FACT[:-1]):
+        p = dd_add(dd_mul(p, r), DD(jnp.full_like(x.hi, ch),
+                                    jnp.full_like(x.hi, cl)))
+    p = dd_mul(dd_mul(p, r), r)          # sum_{k>=2} r^k/k!
+    p = dd_add(p, r)
+    s = dd_add(p, dd(jnp.ones_like(x.hi)))
+    for _ in range(9):
+        s = dd_mul(s, s)
+    pow2 = _exact_pow2(k)
+    out = DD(s.hi * pow2, s.lo * pow2)
+    # flush-to-zero below the platform's representable range (the axon TPU
+    # emulates f64 as a float32 pair -> f32 exponent range; the reference
+    # handles the same regime by rescaling, test_crs_ising.f90:135-144)
+    floor = -708.0 if _full_f64_range() else -86.0
+    z = jnp.zeros_like(x.hi)
+    return DD(jnp.where(x.hi < floor, z, out.hi),
+              jnp.where(x.hi < floor, z, out.lo))
+
+
+_RANGE_PROBE = None
+
+
+def _full_f64_range() -> bool:
+    """True when the default backend carries real binary64 exponent range.
+    The axon TPU's x64 rewriting emulates f64 as a float32 pair, so values
+    beyond ~1e+/-38 overflow/flush there."""
+    global _RANGE_PROBE
+    if _RANGE_PROBE is None:
+        try:
+            a = jnp.asarray(1e-60, jnp.float64)
+            _RANGE_PROBE = bool(np.asarray(a * a != 0.0))
+        except Exception:
+            _RANGE_PROBE = True
+    return _RANGE_PROBE
+
+
+def _exact_pow2(k):
+    """Exact 2^k for integer-valued f64 k: bit-by-bit squaring chain
+    (powers of two multiply exactly — exponent adds, no rounding).
+    jnp.exp2 is NOT exact on this backend (exp2(8.0) = 255.99999999999994,
+    lowered as exp(k ln2)) and jnp.ldexp does not lower on the TPU x64
+    rewrite path (s64 bitcast unimplemented).  k is clamped to the
+    platform's representable exponent range."""
+    if _full_f64_range():
+        bits, clamp = 10, 1008.0       # base reaches 2^512
+    else:
+        bits, clamp = 7, 126.0         # f32-pair range: base reaches 2^64
+    k = jnp.clip(k, -clamp, clamp)
+    kk = jnp.abs(k).astype(jnp.int32)
+    result = jnp.ones_like(k)
+    base = jnp.full_like(k, 2.0)
+    for i in range(bits):
+        result = jnp.where((kk >> i) & 1 == 1, result * base, result)
+        if i < bits - 1:
+            base = base * base
+    return jnp.where(k < 0, 1.0 / result, result)
+
+
+def dd_log(x: DD) -> DD:
+    """Device dd logarithm by Newton iteration on dd_exp: y_{n+1} = y_n +
+    x exp(-y_n) - 1, seeded with the f64 log (array form; axon's 0-d
+    transcendentals are low-precision, so keep inputs arrayed)."""
+    y = dd(jnp.log(x.hi))
+    for _ in range(2):
+        e = dd_exp(dd_neg(y))
+        y = dd_add(y, dd_sub(dd_mul(x, e), dd(jnp.ones_like(x.hi))))
+    return y
 
 
 def dd_to_float(x: DD):
