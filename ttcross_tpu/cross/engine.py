@@ -131,6 +131,7 @@ def _at(arr, c):
 
 _ENGINE_CACHE: dict = {}
 _ENGINE_PINS: list = []  # keep integrand objects alive so id() keys stay valid
+_EXPORT_WRAP: dict = {}  # full_fn id -> export-cache-backed wrapper
 
 
 def get_engine(fun: Callable, cfg: CrossConfig):
@@ -891,6 +892,19 @@ def cross(
     if fast:
         # one device dispatch + one small packed transfer (see make_full_fn)
         full_fn = kit.make_full_fn(max_sweeps, with_quad, accuracy)
+        from . import export_cache
+
+        if export_cache.enabled():
+            # skip this platform's ~35-90 s lowering on repeat processes
+            # (see export_cache.py); keyed by engine-source hash + config +
+            # integrand value fingerprint
+            ck = ("export", max_sweeps, with_quad, accuracy)
+            cached = _EXPORT_WRAP.get((id(full_fn), ck))
+            if cached is None:
+                cached = export_cache.cached_full_fn(
+                    full_fn, fun, cfg, max_sweeps, with_quad, accuracy, (key, w))
+                _EXPORT_WRAP[(id(full_fn), ck)] = cached
+            full_fn = cached
         solved, packed = full_fn(key, w)
         packed = np.asarray(packed)
         S = max_sweeps + 1

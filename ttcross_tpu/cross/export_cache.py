@@ -1,0 +1,118 @@
+"""On-disk export cache for the fused cross executable.
+
+On the axon TPU stack, jax LOWERING of the fused whole-cross program costs
+~35-90 s per process (47x the CPU backend's lowering of the identical
+jaxpr), dwarfing both tracing (~1 s) and the persistent-compile-cache hit
+(~14 s).  jax.export solves it: the lowered StableHLO artifact serializes
+to ~70 KB and deserializes in milliseconds, so every process after the
+first skips straight to the compile-cache hit.
+
+Safety: a stale or mismatched artifact must never be used silently.  The
+cache key binds
+  * a hash of the engine source files (any engine edit invalidates),
+  * the full CrossConfig + run parameters,
+  * jax version and device platform/kind,
+  * a VALUE FINGERPRINT of the integrand: its outputs on 64 fixed
+    pseudo-random probe indices, hashed.  Two integrands that agree on the
+    probe batch but differ elsewhere would collide, but the probe covers
+    the full index domain with 64 x d samples; combined with the source
+    hash this is far stronger than any name-based key.
+
+Every failure path falls back to the uncached function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import warnings
+
+import numpy as np
+
+__all__ = ["cached_full_fn", "enabled"]
+
+_SRC_HASH = None
+_FP_CACHE: dict = {}
+
+
+def enabled() -> bool:
+    return os.environ.get("TTCROSS_EXPORT_CACHE", "1") not in ("0", "", "false")
+
+
+def _cache_dir() -> str:
+    d = os.environ.get(
+        "TTCROSS_EXPORT_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "ttcross_tpu_export"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _source_hash() -> str:
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        from .. import config
+        from ..ops import dense, lu
+        from . import chains, engine, state
+
+        h = hashlib.sha256()
+        for mod in (engine, chains, state, lu, dense, config):
+            with open(mod.__file__, "rb") as f:
+                h.update(f.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _fingerprint(fun, cfg) -> str:
+    """Hash of the integrand's values on a fixed probe batch."""
+    target = getattr(fun, "__self__", fun)
+    ck = (id(target), getattr(fun, "__name__", None), cfg.n)
+    fp = _FP_CACHE.get(ck)
+    if fp is None:
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0x7C5)
+        ind = np.stack([rng.integers(0, nj, size=64) for nj in cfg.n],
+                       axis=1).astype(np.int32)
+        # evaluate on the CPU backend: eager ops through the TPU tunnel
+        # cost ~26 ms each, and CPU values are platform-independent
+        try:
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                vals = np.asarray(fun(jnp.asarray(ind)), dtype=np.float64)
+        except Exception:
+            vals = np.asarray(fun(jnp.asarray(ind)), dtype=np.float64)
+        fp = _FP_CACHE[ck] = hashlib.sha256(vals.tobytes()).hexdigest()[:16]
+    return fp
+
+
+def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
+                   accuracy, example_args):
+    """Return a callable equivalent to full_fn, backed by the on-disk
+    export cache.  example_args: concrete (key, w) used for export
+    tracing on a miss."""
+    import jax
+    from jax import export
+
+    try:
+        dev = jax.devices()[0]
+        key = "|".join([
+            _source_hash(), _fingerprint(fun, cfg), repr(cfg),
+            f"{max_sweeps}:{with_quad}:{accuracy}",
+            jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
+        ])
+        path = os.path.join(
+            _cache_dir(), hashlib.sha256(key.encode()).hexdigest()[:24] + ".bin")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                exp = export.deserialize(f.read())
+        else:
+            exp = export.export(full_fn)(*example_args)
+            blob = exp.serialize()
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        return jax.jit(exp.call)
+    except Exception as e:  # pragma: no cover - fallback must never fail
+        warnings.warn(f"ttcross export cache disabled for this call: {e!r}")
+        return full_fn
