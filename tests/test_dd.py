@@ -165,6 +165,7 @@ def test_dd_exp_log_roundtrip():
     assert err.max() < 1e-28
 
 
+@pytest.mark.slow
 def test_stdnorm_dd_defect_pipeline():
     """Defect correction with a transcendental dd integrand (device dd exp):
     beyond-f64 accuracy on the product Gaussian."""

@@ -60,6 +60,7 @@ def test_defect_corrected_c6_beyond_f64():
     assert digits >= 15.5, digits
 
 
+@pytest.mark.slow
 def test_defect_corrected_on_mesh():
     """Parallel defect correction: both crosses run on a 2-device bond mesh
     and reach beyond-f64 accuracy (the distributed analogue of the

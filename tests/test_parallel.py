@@ -115,6 +115,7 @@ def _dd_digits(value, tru_str):
     return float(-rel.log10()) if rel != 0 else 60.0
 
 
+@pytest.mark.slow
 def test_parallel_dd_matches_single_device():
     """Distributed dd cross (parallel/engine_dd.py, the mp engine's MPI
     path, dmrggmp.f90:518-629): 2-device mesh matches the single-device dd
