@@ -167,3 +167,19 @@ def test_weighted_lottery(rng):
     assert -np.log10(res.errors[-1]) > 3
     with pytest.raises(ValueError):
         cross(prob.fun, [prob.n] * 4, max_rank=4, weighted_lottery=True)
+
+
+def test_oversample_beats_greedy_ceiling():
+    """cross(oversample=k): cross-and-round reaches past the greedy-append
+    quality ceiling at fixed rank (MVN d=4 case; the d=6 numbers are in
+    BENCH_NOTES 'Pivot-quality ceiling')."""
+    from ttcross_tpu.apps import make_mvn
+
+    prob = make_mvn(d=4, n=33)
+    w = [prob.quad_weights] * 4
+    plain = cross(prob.fun, [prob.n] * 4, max_rank=8, pivoting=1,
+                  accuracy=500 * 2.2e-16, quad=w, truth=1.0)
+    over = cross(prob.fun, [prob.n] * 4, max_rank=8, pivoting=1,
+                 accuracy=500 * 2.2e-16, quad=w, truth=1.0, oversample=4)
+    assert max(over.ranks) <= 8
+    assert over.errors[-1] < plain.errors[-1]
