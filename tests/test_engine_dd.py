@@ -45,3 +45,17 @@ def test_dd_engine_c6():
     res = cross_dd(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=48, pivoting=1)
     digits = _digits(res.value, ISING_C_STR[6])
     assert digits >= 17, digits
+
+
+def test_dd_per_sweep_value_matches_final(capsys):
+    """The in-loop dd value (mptt_dmrgg's per-iteration line,
+    dmrggmp.f90:655-672) must converge to the finalized train's quadrature
+    value."""
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=17)
+    res = cross_dd(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=8,
+                   pivoting=1, verbose=True, truth=ISING_C_STR[4])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "err" in ln and "val" in ln]
+    assert len(lines) >= 5           # one line per sweep
+    last_val = float(lines[-1].split("val")[-1])
+    assert abs(last_val - (res.value[0] + res.value[1])) < 1e-12

@@ -82,6 +82,7 @@ class DDKit(NamedTuple):
     eval_col: Callable
     eval_row: Callable
     cfg: "DDConfig"
+    value_fn: Callable = None
 
 
 def _ddz(shape):
@@ -414,6 +415,38 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         return st._replace(pivotmax_prev=st.pivotmax)
 
     @jax.jit
+    def value_fn(st: DDState, wh, wl) -> DD:
+        """Per-sweep dd quadrature value of the CURRENT cross (the mp
+        tier's in-loop value line, dmrggmp.f90:655-672): contract each raw
+        core against the dd weights, apply the maintained inverses, chain
+        the (R, R) mats — all in dd."""
+
+        def mat(c):
+            g = _at_dd(st.cores, c)                              # (R, N, R)
+            w = DD(_at(wh, c), _at(wl, c))                       # (N,)
+            prod = dd_mul(g, DD(w.hi[None, :, None], w.lo[None, :, None]))
+            m = dd_sum(prod, axis=1)                             # (R, R)
+            itl_c = _at_dd(st.itl, jnp.maximum(c - 1, 0))
+            solved = dd_sum(dd_mul(DD(itl_c.hi[:, :, None], itl_c.lo[:, :, None]),
+                                   DD(m.hi[None], m.lo[None])), axis=1)
+            m = DD(jnp.where(c > 0, solved.hi, m.hi),
+                   jnp.where(c > 0, solved.lo, m.lo))
+            itt_c = _at_dd(st.itt, jnp.minimum(c, d - 2))
+            solved = dd_sum(dd_mul(DD(m.hi[:, :, None], m.lo[:, :, None]),
+                                   DD(itt_c.hi[None], itt_c.lo[None])), axis=1)
+            return DD(jnp.where(c < d - 1, solved.hi, m.hi),
+                      jnp.where(c < d - 1, solved.lo, m.lo))
+
+        def body(c, v):
+            m = mat(c)
+            prod = dd_mul(DD(v.hi[:, None], v.lo[:, None]), m)
+            return dd_sum(prod, axis=0)
+
+        v0 = DD(jnp.zeros((R,)).at[0].set(1.0), jnp.zeros((R,)))
+        v = jax.lax.fori_loop(0, d, body, v0)
+        return DD(v.hi[0], v.lo[0])
+
+    @jax.jit
     def finalize_fn(st: DDState) -> DD:
         def one(c, out):
             g = _at_dd(st.cores, c)
@@ -434,7 +467,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
 
     return DDKit(init_fn=init_fn, sweep_fn=sweep_fn, finalize_fn=finalize_fn,
                  visit_bond=visit_bond, eval_col=eval_col, eval_row=eval_row,
-                 cfg=cfg)
+                 cfg=cfg, value_fn=value_fn)
 
 
 _DD_CACHE: dict = {}
@@ -478,9 +511,15 @@ def cross_dd(
     small_element: float = 1e-30,
     small_pivot: float = 1e-12,
     verbose: bool = False,
+    truth=None,
 ) -> DDCrossResult:
     """Cross interpolation with dd pivot selection; returns the dd train and
-    its quadrature value against dd weights (computed in dd on device)."""
+    its quadrature value against dd weights (computed in dd on device).
+
+    With verbose, prints the mp tier's per-iteration value line
+    (dmrggmp.f90:655-672): the CURRENT cross contracted against the dd
+    weights each sweep, with err vs `truth` (a Decimal-compatible string
+    or float) or cnv vs the previous sweep."""
     n = tuple(int(x) for x in n)
     d = len(n)
     cfg = DDConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
@@ -489,6 +528,17 @@ def cross_dd(
     init_fn, sweep_fn, finalize_fn = kit.init_fn, kit.sweep_fn, kit.finalize_fn
 
     st = init_fn(jax.random.PRNGKey(key) if isinstance(key, int) else key)
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 50
+    wh_pad = np.zeros((d, cfg.N))
+    wl_pad = np.zeros((d, cfg.N))
+    for c in range(d):
+        wh_pad[c, : n[c]] = np.asarray(weights_hi[c])
+        wl_pad[c, : n[c]] = np.asarray(weights_lo[c])
+    wh_pad = jnp.asarray(wh_pad)
+    wl_pad = jnp.asarray(wl_pad)
+    val_prev = None
     strike = 0
     it = 0
     while it + 1 < max_rank:
@@ -497,8 +547,19 @@ def cross_dd(
         pm = float(st.pivotmax)
         am = float(st.amax)
         if verbose:
+            v = kit.value_fn(st, wh_pad, wl_pad)
+            val = Decimal(float(v.hi)) + Decimal(float(v.lo))
+            if truth is not None:
+                rel = abs(1 - val / Decimal(truth if isinstance(truth, str)
+                                            else float(truth)))
+                tag = f"err {float(rel):9.3e}"
+            elif val_prev not in (None, 0):
+                tag = f"cnv {float(abs(1 - val / val_prev)):9.3e}"
+            else:
+                tag = ""
+            val_prev = val
             print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd pivotmax {pm:9.3e} "
-                  f"amax {am:9.3e} n_evals {int(st.neval)}")
+                  f"amax {am:9.3e} n_evals {int(st.neval)} {tag} val {val:.32e}")
         if pm <= accuracy * am:
             strike += 1
         else:
