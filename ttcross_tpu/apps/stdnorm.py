@@ -59,13 +59,15 @@ def make_stdnorm_dd(d: int = 6, n: int = 65, a: float = -10.0, b: float = 10.0):
     defect-correction pipeline — the beyond-f64 tier for a transcendental
     (non-rational) integrand, exercising the device dd exp."""
     from .. import native
-    from ..ops.dd import DD, dd, dd_mul
+    from ..ops.dd import DD, dd, dd_add, dd_mul
 
     if n % 2 == 0:
         n += 1
     (xh, xl), (wh, wl) = native.gauss_legendre_dd(n)
     half_len = dd(0.5 * (b - a))
-    Xn = dd_mul(DD(jnp.asarray(xh), jnp.asarray(xl)), half_len)   # a = -b
+    mid = dd(0.5 * (b + a))
+    Xn = dd_add(dd_mul(DD(jnp.asarray(xh), jnp.asarray(xl)), half_len),
+                DD(jnp.broadcast_to(mid.hi, (n,)), jnp.broadcast_to(mid.lo, (n,))))
     Wn = dd_mul(DD(jnp.asarray(wh), jnp.asarray(wl)), half_len)
 
     prob = StdnormProblem(d=d, n=n, nodes=np.asarray(Xn.hi),

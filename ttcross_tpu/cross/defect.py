@@ -91,17 +91,18 @@ def cross_defect_corrected(
         ranks.append(res.ranks)
         k = k + 1 if isinstance(k, int) else k
 
-    from decimal import Decimal, getcontext
+    from decimal import Decimal, localcontext
 
-    getcontext().prec = 50
-    qs = []
-    total = Decimal(0)
-    for t in trains:
-        h, l = native.contract_q(t, weights_hi, weights_lo)
-        qs.append((h, l))
-        total += Decimal(h) + Decimal(l)
-    hi = float(total)
-    lo = float(total - Decimal(hi))
+    with localcontext() as ctx:
+        ctx.prec = 50
+        qs = []
+        total = Decimal(0)
+        for t in trains:
+            h, l = native.contract_q(t, weights_hi, weights_lo)
+            qs.append((h, l))
+            total += Decimal(h) + Decimal(l)
+        hi = float(total)
+        lo = float(total - Decimal(hi))
     info = {
         "neval1": nevals[0], "neval2": sum(nevals[1:]),
         "nevals": nevals, "ranks": ranks,

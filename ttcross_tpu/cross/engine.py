@@ -22,7 +22,7 @@ iteration report (dmrgg.f90:969-1019).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Callable, NamedTuple, Sequence
 
 import jax
@@ -115,6 +115,21 @@ def auto_chunks(max_rank: int, n_chunks: int = 4) -> list[int]:
     nch = n_chunks if max_rank >= 4 * n_chunks else 2
     ch = sorted({max(4, -(-max_rank * k // nch)) for k in range(1, nch + 1)})
     return [c for c in ch if c <= max_rank] if ch[-1] == max_rank else ch + [max_rank]
+
+
+def _values_errors(vals, last_it: int, truth, with_quad: bool):
+    """values list + per-sweep rel errors (err vs truth, or cnv vs the
+    previous sweep) from the packed per-sweep value array."""
+    values, errors = [], []
+    if with_quad:
+        values = list(vals[: last_it + 1])
+        for i in range(1, last_it + 1):
+            if truth is not None:
+                errors.append(abs(1.0 - vals[i] / truth))
+            else:
+                prev = vals[i - 1]
+                errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    return values, errors
 
 
 def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
@@ -295,8 +310,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         cdf_r = jnp.cumsum(wrow)
         t_c = u2[0] * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0)
         t_r = u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0)
-        lin_c = jnp.searchsorted(cdf_c, t_c, side="right").astype(jnp.int_)
-        lin_r = jnp.searchsorted(cdf_r, t_r, side="right").astype(jnp.int_)
+        # clip: u ~ 1 can round t up to exactly cdf[-1], where side='right'
+        # would return the (out-of-range) table size
+        lin_c = jnp.minimum(jnp.searchsorted(cdf_c, t_c, side="right"),
+                            R * N - 1).astype(jnp.int_)
+        lin_r = jnp.minimum(jnp.searchsorted(cdf_r, t_r, side="right"),
+                            N * R - 1).astype(jnp.int_)
         i_c, j_c = _decode_div(lin_c, N)
         q_c, k_c = _decode_div(lin_r, N)
 
@@ -852,12 +871,17 @@ def cross(
     if oversample:
         if return_state or init_state is not None:
             raise ValueError("oversample is incompatible with state passing")
-        res = cross(fun, n, max_rank=max_rank + int(oversample),
+        r_over = max_rank + int(oversample)
+        # an explicit chunk schedule must be extended to the inflated rank
+        chunks_over = rank_chunks
+        if rank_chunks is not None and rank_chunks != "auto":
+            chunks_over = [int(x) for x in rank_chunks if int(x) < r_over] + [r_over]
+        res = cross(fun, n, max_rank=r_over,
                     accuracy=accuracy, pivoting=pivoting, quad=quad,
                     truth=truth, key=key, dtype=dtype, verbose=verbose,
                     use_pallas=use_pallas, max_sweeps=max_sweeps,
                     small_element=small_element, small_pivot=small_pivot,
-                    rank_chunks=rank_chunks, weighted_lottery=weighted_lottery)
+                    rank_chunks=chunks_over, weighted_lottery=weighted_lottery)
         from ..tt.ortho import svd_round
         from ..tt.ops import contract
 
@@ -907,7 +931,7 @@ def cross(
     if rank_chunks is not None:
         chunks = auto_chunks(max_rank) if rank_chunks == "auto" \
             else [int(x) for x in rank_chunks]
-        if len(chunks) > 1:
+        if len(chunks) > 1 and max_sweeps >= 1:
             if init_state is not None:
                 raise ValueError("rank_chunks cannot resume from init_state")
             if chunks != sorted(set(chunks)) or chunks[-1] != max_rank or chunks[0] < 2:
@@ -961,15 +985,7 @@ def cross(
         rk = np.asarray(st.rk)
         neval = int(st.neval)
 
-    values, errors = [], []
-    if with_quad:
-        values = list(vals[: last_it + 1])
-        for i in range(1, last_it + 1):
-            if truth is not None:
-                errors.append(abs(1.0 - vals[i] / truth))
-            else:
-                prev = vals[i - 1]
-                errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    values, errors = _values_errors(vals, last_it, truth, with_quad)
     converged = accuracy is not None and last_it < max_sweeps
 
     from ..utils.metrics import history_from_run
@@ -1034,10 +1050,7 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
     chunk_sweeps = []
     kit_c = None
     for ci, (Rc, len_c) in enumerate(plan):
-        cfg_c = CrossConfig(d=cfg.d, n=cfg.n, N=cfg.N, R=Rc, piv=cfg.piv,
-                            small_element=cfg.small_element,
-                            small_pivot=cfg.small_pivot, snum=cfg.snum,
-                            use_pallas=cfg.use_pallas, wlot=cfg.wlot)
+        cfg_c = dc_replace(cfg, R=Rc)
         kit_c = get_engine(fun, cfg_c)
         if ci == 0:
             st = kit_c.init_fn(key)
@@ -1067,15 +1080,7 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
     rk = np.asarray(st.rk)
     neval = int(st.neval)
 
-    values, errors = [], []
-    if with_quad:
-        values = list(vals[: last_it + 1])
-        for i in range(1, last_it + 1):
-            if truth is not None:
-                errors.append(abs(1.0 - vals[i] / truth))
-            else:
-                prev = vals[i - 1]
-                errors.append(abs(1.0 - vals[i] / prev) if prev != 0 else float("nan"))
+    values, errors = _values_errors(vals, last_it, truth, with_quad)
     converged = accuracy is not None and strike >= 3
 
     from ..utils.metrics import history_from_run
@@ -1091,10 +1096,7 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
                 line += f" cnv {rec.cnv:9.3e} val {rec.value:.14e}"
             print(line)
 
-    cfg_last = CrossConfig(d=cfg.d, n=cfg.n, N=cfg.N, R=chunk_sweeps[-1][0],
-                           piv=cfg.piv, small_element=cfg.small_element,
-                           small_pivot=cfg.small_pivot, snum=cfg.snum,
-                           use_pallas=cfg.use_pallas, wlot=cfg.wlot)
+    cfg_last = dc_replace(cfg, R=chunk_sweeps[-1][0])
     tt = finalize(st, cfg_last, kit_c)
     res = CrossResult(
         tt=tt, neval=neval, sweeps=last_it,

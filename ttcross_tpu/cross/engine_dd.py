@@ -528,9 +528,8 @@ def cross_dd(
     init_fn, sweep_fn, finalize_fn = kit.init_fn, kit.sweep_fn, kit.finalize_fn
 
     st = init_fn(jax.random.PRNGKey(key) if isinstance(key, int) else key)
-    from decimal import Decimal, getcontext
+    from decimal import Decimal, localcontext
 
-    getcontext().prec = 50
     wh_pad = np.zeros((d, cfg.N))
     wl_pad = np.zeros((d, cfg.N))
     for c in range(d):
@@ -548,18 +547,20 @@ def cross_dd(
         am = float(st.amax)
         if verbose:
             v = kit.value_fn(st, wh_pad, wl_pad)
-            val = Decimal(float(v.hi)) + Decimal(float(v.lo))
-            if truth is not None:
-                rel = abs(1 - val / Decimal(truth if isinstance(truth, str)
-                                            else float(truth)))
-                tag = f"err {float(rel):9.3e}"
-            elif val_prev not in (None, 0):
-                tag = f"cnv {float(abs(1 - val / val_prev)):9.3e}"
-            else:
-                tag = ""
-            val_prev = val
-            print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd pivotmax {pm:9.3e} "
-                  f"amax {am:9.3e} n_evals {int(st.neval)} {tag} val {val:.32e}")
+            with localcontext() as ctx:
+                ctx.prec = 50
+                val = Decimal(float(v.hi)) + Decimal(float(v.lo))
+                if truth is not None:
+                    rel = abs(1 - val / Decimal(truth if isinstance(truth, str)
+                                                else float(truth)))
+                    tag = f"err {float(rel):9.3e}"
+                elif val_prev not in (None, 0):
+                    tag = f"cnv {float(abs(1 - val / val_prev)):9.3e}"
+                else:
+                    tag = ""
+                val_prev = val
+                print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd pivotmax {pm:9.3e} "
+                      f"amax {am:9.3e} n_evals {int(st.neval)} {tag} val {val:.32e}")
         if pm <= accuracy * am:
             strike += 1
         else:

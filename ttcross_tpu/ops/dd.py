@@ -147,26 +147,28 @@ def dd_matmul(Ah, Al, Bh, Bl) -> DD:
 
 
 def _dd_const(s: str) -> tuple[float, float]:
-    from decimal import Decimal, getcontext
+    from decimal import Decimal, localcontext
 
-    getcontext().prec = 60
-    v = Decimal(s)
-    hi = float(v)
-    return hi, float(v - Decimal(hi))
+    with localcontext() as ctx:
+        ctx.prec = 60
+        v = Decimal(s)
+        hi = float(v)
+        return hi, float(v - Decimal(hi))
 
 
 _LN2_HI, _LN2_LO = _dd_const(
     "0.69314718055994530941723212145817656807550013436025525412068")
 # 1/k! as exact dd pairs, k = 2..16 (Taylor tail of exp on |r| <= ln2/1024)
 import math as _math  # noqa: E402
-from decimal import Decimal as _Dec, getcontext as _gc  # noqa: E402
+from decimal import Decimal as _Dec, localcontext as _lc  # noqa: E402
 
-_gc().prec = 60
 _INV_FACT = []
-for _k in range(2, 17):
-    _v = _Dec(1) / _Dec(_math.factorial(_k))
-    _h = float(_v)
-    _INV_FACT.append((_h, float(_v - _Dec(_h))))
+with _lc() as _ctx:
+    _ctx.prec = 60
+    for _k in range(2, 17):
+        _v = _Dec(1) / _Dec(_math.factorial(_k))
+        _h = float(_v)
+        _INV_FACT.append((_h, float(_v - _Dec(_h))))
 
 
 def dd_exp(x: DD) -> DD:
@@ -219,18 +221,11 @@ def _full_f64_range() -> bool:
     return _RANGE_PROBE
 
 
-def _exact_pow2(k):
-    """Exact 2^k for integer-valued f64 k: bit-by-bit squaring chain
-    (powers of two multiply exactly — exponent adds, no rounding).
-    jnp.exp2 is NOT exact on this backend (exp2(8.0) = 255.99999999999994,
-    lowered as exp(k ln2)) and jnp.ldexp does not lower on the TPU x64
-    rewrite path (s64 bitcast unimplemented).  k is clamped to the
-    platform's representable exponent range."""
-    if _full_f64_range():
-        bits, clamp = 10, 1008.0       # base reaches 2^512
-    else:
-        bits, clamp = 7, 126.0         # f32-pair range: base reaches 2^64
-    k = jnp.clip(k, -clamp, clamp)
+def _pow2_chain(k, bits: int):
+    """2^k by a bit-wise squaring chain for integer |k| < 2^bits; every
+    multiply is a power-of-two product (exponent add, no rounding).  The
+    intermediate base reaches 2^(2^(bits-1)), so bits <= 10 stays finite
+    in binary64 and bits <= 7 in the f32-pair emulation."""
     kk = jnp.abs(k).astype(jnp.int32)
     result = jnp.ones_like(k)
     base = jnp.full_like(k, 2.0)
@@ -239,6 +234,23 @@ def _exact_pow2(k):
         if i < bits - 1:
             base = base * base
     return jnp.where(k < 0, 1.0 / result, result)
+
+
+def _exact_pow2(k):
+    """Exact 2^k for integer-valued f64 k, covering the platform's full
+    exponent range.  jnp.exp2 is NOT exact on this backend (exp2(8.0) =
+    255.99999999999994 — lowered as exp(k ln2)) and jnp.ldexp does not
+    lower on the TPU x64 rewrite path (s64 bitcast unimplemented).
+
+    Full-range binary64 splits k into two halves (|half| <= 530, each
+    chain finite) so every k in [-1060, 1060] is exact and |k| > 1023
+    overflows to inf / underflows to 0 as true 2^k would."""
+    if _full_f64_range():
+        k = jnp.clip(k, -1060.0, 1060.0)
+        a = jnp.trunc(k * 0.5)
+        return _pow2_chain(a, 10) * _pow2_chain(k - a, 10)
+    k = jnp.clip(k, -126.0, 126.0)     # f32-pair exponent range
+    return _pow2_chain(k, 7)
 
 
 def dd_log(x: DD) -> DD:
@@ -259,23 +271,25 @@ def dd_to_float(x: DD):
 def dd_from_string(s: str) -> tuple[float, float]:
     """Parse a decimal string into (hi, lo) on host — for the ~500-digit
     truth constants (apps/truths.py)."""
-    from decimal import Decimal, getcontext
+    from decimal import Decimal, localcontext
 
-    getcontext().prec = 80
-    v = Decimal(s)
-    hi = float(v)
-    lo = float(v - Decimal(hi))
+    with localcontext() as ctx:
+        ctx.prec = 80
+        v = Decimal(s)
+        hi = float(v)
+        lo = float(v - Decimal(hi))
     return hi, lo
 
 
 def dd_to_string(x, digits: int = 32) -> str:
     """Render a (scalar) DD to `digits` decimal digits (mpsay analogue,
     mpfung1.f90:526)."""
-    from decimal import Decimal, getcontext
+    from decimal import Decimal, localcontext
 
-    getcontext().prec = digits + 10
-    v = Decimal(float(np.asarray(x.hi))) + Decimal(float(np.asarray(x.lo)))
-    return f"{v:.{digits}e}"
+    with localcontext() as ctx:
+        ctx.prec = digits + 10
+        v = Decimal(float(np.asarray(x.hi))) + Decimal(float(np.asarray(x.lo)))
+        return f"{v:.{digits}e}"
 
 
 def dd_gather_tt(t, ind) -> DD:

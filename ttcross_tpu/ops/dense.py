@@ -41,6 +41,20 @@ def _f32_split3(x):
     return a, b, c
 
 
+def _pow2_rescale(x):
+    """(scale, inv_scale) power-of-2 pair centring max|x| near 1, so the
+    f32 split never overflows to inf (one inf entry would 0*inf = NaN the
+    WHOLE one-hot contraction) and entries within ~75 orders of the max
+    keep full precision.  Power-of-2 multiplies are exact, so the rescale
+    does not perturb the lookup."""
+    from .dd import _exact_pow2
+
+    m = jnp.max(jnp.abs(x))
+    e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
+    e = jnp.where(jnp.isfinite(e), e, 0.0)
+    return _exact_pow2(-e), _exact_pow2(e)
+
+
 def _onehot_select(parts, oh, axis):
     """Sum of exact one-hot contractions against the f32 split parts.
     HIGHEST keeps each f32 contraction exact on the MXU's bf16-split
@@ -63,20 +77,25 @@ def table_lookup(table, ind):
     (nodes[ind] on a (B, d) index batch) dominated sweep traces (~75%).
     A one-hot contraction instead streams at matmul speed, and is exact:
     each one-hot dot picks one addend of the 3-term f32 split with no
-    rounding, and the f64 sum reassembles the original value bit-for-bit
-    (values must lie in f32's exponent range — true for quadrature data)."""
+    rounding, and the f64 sum reassembles the original value bit-for-bit.
+    A power-of-2 rescale keeps arbitrary-magnitude tables inside f32's
+    exponent range (entries more than ~75 orders below the table max
+    round toward zero — the only precision caveat)."""
     table = jnp.asarray(table)
     oh = onehot_rows(ind, table.shape[0])
-    return _onehot_select(_f32_split3(table), oh, 0)
+    s, sinv = _pow2_rescale(table)
+    return _onehot_select(_f32_split3(table * s), oh, 0) * sinv
 
 
 def row_lookup(mat, lin, axis: int = 0):
     """Gather-free row (axis=0) / column (axis=1) selection from a 2-D f64
     matrix: out[b, :] = mat[lin[b], :] (or mat[:, lin[b]]), exact via the
-    same one-hot split-f32 MXU contraction as table_lookup."""
+    same one-hot split-f32 MXU contraction (and power-of-2 range rescale)
+    as table_lookup."""
     mat = jnp.asarray(mat)
     oh = onehot_rows(lin, mat.shape[axis])
-    return _onehot_select(_f32_split3(mat), oh, axis)
+    s, sinv = _pow2_rescale(mat)
+    return _onehot_select(_f32_split3(mat * s), oh, axis) * sinv
 
 
 def svd_chopped(a, tol: float | None = None, rmax: int | None = None):
