@@ -1057,8 +1057,19 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
         else:
             st = pad_jit(st, Rc)
         run_fn = kit_c.make_run_fn(len_c, with_quad, accuracy)
-        st, t_last, vals, pmax, nev, strike = run_fn(
-            st, w, jnp.asarray(it0, jnp.int32), jnp.asarray(strike, jnp.int32))
+        args = (st, w, jnp.asarray(it0, jnp.int32), jnp.asarray(strike, jnp.int32))
+        from . import export_cache
+
+        if export_cache.enabled():
+            ck = (id(run_fn), "chunk")
+            cached = _EXPORT_WRAP.get(ck)
+            if cached is None:
+                cached = export_cache.cached_full_fn(
+                    run_fn, fun, cfg_c, len_c, with_quad, accuracy, args,
+                    kind="chunk")
+                _EXPORT_WRAP[ck] = cached
+            run_fn = cached
+        st, t_last, vals, pmax, nev, strike = run_fn(*args)
         t_last = int(t_last)
         strike = int(strike)
         vals = np.asarray(vals)

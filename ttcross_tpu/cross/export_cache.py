@@ -86,10 +86,11 @@ def _fingerprint(fun, cfg) -> str:
 
 
 def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
-                   accuracy, example_args):
+                   accuracy, example_args, kind: str = "full"):
     """Return a callable equivalent to full_fn, backed by the on-disk
-    export cache.  example_args: concrete (key, w) used for export
-    tracing on a miss."""
+    export cache.  example_args: concrete arguments used for export
+    tracing on a miss.  kind distinguishes executables that share the same
+    config (the fused full run vs a chunk's run_fn)."""
     import jax
     from jax import export
 
@@ -97,7 +98,7 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
         dev = jax.devices()[0]
         key = "|".join([
             _source_hash(), _fingerprint(fun, cfg), repr(cfg),
-            f"{max_sweeps}:{with_quad}:{accuracy}",
+            f"{kind}:{max_sweeps}:{with_quad}:{accuracy}",
             jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
         ])
         path = os.path.join(
