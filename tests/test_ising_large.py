@@ -59,3 +59,23 @@ def test_ising_c64():
                 pivoting=1, quad=[prob.quad_weights] * prob.d, truth=prob.truth)
     digits = -np.log10(res.errors[-1])
     assert digits >= 5, (res.errors[-1], digits)
+
+
+def test_geo_rescale_long_chain(rng):
+    """m >= 32 switches to max weight normalization so per-entry products
+    are bounded by 1 (no overflow, ever — critical on the f32-pair f64
+    platform whose range ends ~3.4e38); the 1/val quad factors exactly
+    undo it, so C_64 still converges to Bailey's constant."""
+    import jax.numpy as jnp
+
+    prob = make_ising("C", m=64, n=17)
+    assert prob.rescale
+    # scaled weights are max-normalized: every product of them is <= 1
+    np.testing.assert_allclose(np.max(prob.weights), 1.0, rtol=1e-12)
+    ind = rng.integers(0, prob.n, size=(16, prob.d)).astype(np.int32)
+    vals = np.asarray(prob.fun(jnp.asarray(ind)))
+    assert np.all(np.abs(vals) <= 2.0), np.abs(vals).max()  # bounded above
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=6,
+                accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    assert -np.log10(res.errors[-1]) >= 5

@@ -253,6 +253,19 @@ def make_ising(kind: str = "C", m: int = 6, n: int = 65) -> IsingProblem:
     x = (x + 1.0) / 2.0         # [-1,1] -> [0,1]
     rescale = kind in ("D", "E") and m >= 10
     val = 5.0 * (n // 2) if rescale else float(n // 2)
+    if m >= 32:
+        # long chains: products of d ~ m per-dimension weights leave the
+        # floating range (0.5^255 ~ 1e-77 with the default scaling; and a
+        # geometric-mean normalization still lets the all-center-node
+        # corner overflow, 1.53^255 ~ 1e47 — fatal on the f32-pair f64
+        # emulation whose range ends at ~3.4e38).  Normalizing by the MAX
+        # weight bounds every product by 1: no overflow ever, and only
+        # entries >38 orders below the largest — irrelevant to the
+        # quadrature — flush to zero.  The same keep-it-in-range trick as
+        # the reference's D/E rescaling (test_crs_ising.f90:135-144),
+        # chosen per-chain instead of the fixed 5*(n//2).
+        val = float(1.0 / np.max(w))
+        rescale = True
     weights = w * val
     quad_weights = np.full(n, 1.0 / val)
 

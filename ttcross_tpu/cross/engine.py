@@ -674,13 +674,27 @@ def make_engine(fun: Callable, cfg: CrossConfig):
     def value_fn(st: CrossState, w) -> jax.Array:
         """Contract the current cross against per-mode weights w (d, N),
         applying the growing-LU inverses (ttqq + dtt_lua + dtt_quad,
-        dmrgg.f90:975-1006)."""
-        def body(c, v):
-            return v @ value_mat(st, w, c)
+        dmrgg.f90:975-1006).
+
+        The running chain is norm-balanced with EXACT power-of-2 rescales
+        (exponent tracked separately) — the engine's rendering of the
+        reference's geometric-mean core balancing (dtt_ort,
+        tt.f90:150-197): at d ~ 256+ the raw partial products span
+        1e+/-250, beyond even binary64 near the reference's tt_size=2048,
+        and far beyond the f32-pair f64 emulation's ~1e+/-38."""
+        from ..ops.dd import _exact_pow2
+
+        def body(c, carry):
+            v, ex = carry
+            v = v @ value_mat(st, w, c)
+            m = jnp.max(jnp.abs(v))
+            e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
+            e = jnp.where(jnp.isfinite(e), e, 0.0)
+            return v * _exact_pow2(-e), ex + e
 
         v0 = jnp.zeros((1, R), st.cores.dtype).at[0, 0].set(1.0)
-        v = jax.lax.fori_loop(0, d, body, v0)
-        return v[0, 0]
+        v, ex = jax.lax.fori_loop(0, d, body, (v0, jnp.zeros((), st.cores.dtype)))
+        return v[0, 0] * _exact_pow2(ex)
 
     # ------------------------------------------------------------ fused run
     _run_cache: dict = {}

@@ -276,33 +276,50 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         past the edge), so after ceil(log2 ndev) ppermutes device 0 holds
         the full ordered product.  O(log ndev) (R, R) messages instead of an
         all_gather of ndev R^2 blocks + an O(ndev)-depth replicated chain."""
+        from ..ops.dd import _exact_pow2
+
         me = jax.lax.axis_index(BOND_AXIS)
         cnt = own_hi - own_lo + jnp.where(me == ndev - 1, 1, 0)
         part = jnp.eye(R, dtype=st.amax.dtype)
+        ex0 = jnp.zeros((), st.amax.dtype)
 
-        def body(idx, part):
+        def balance(part, ex):
+            # exact power-of-2 norm balancing (see engine.value_fn): long
+            # chains overflow the raw partial products
+            m = jnp.max(jnp.abs(part))
+            e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
+            e = jnp.where(jnp.isfinite(e), e, 0.0)
+            return part * _exact_pow2(-e), ex + e
+
+        def body(idx, carry):
+            part, ex = carry
             c = (own_lo + idx).astype(jnp.int32)
             m = kit.value_mat(st, w, c)
-            return jnp.where(idx < cnt, part @ m, part)
+            part2, ex2 = balance(part @ m, ex)
+            live = idx < cnt
+            return jnp.where(live, part2, part), jnp.where(live, ex2, ex)
 
-        part = jax.lax.fori_loop(0, max_cores, body, part)
+        part, ex = jax.lax.fori_loop(0, max_cores, body, (part, ex0))
 
         stride = 1
         while stride < ndev:
             # pull the partial of the device `stride` to the right; devices
             # past the edge contribute the identity (wrap-around partials
             # are masked off)
-            right = jax.lax.ppermute(
-                part, BOND_AXIS,
-                [(src, (src - stride) % ndev) for src in range(ndev)])
+            perm = [(src, (src - stride) % ndev) for src in range(ndev)]
+            right = jax.lax.ppermute(part, BOND_AXIS, perm)
+            right_ex = jax.lax.ppermute(ex, BOND_AXIS, perm)
             eye = jnp.eye(R, dtype=part.dtype)
-            right = jnp.where(me + stride < ndev, right, eye)
-            part = part @ right
+            live = me + stride < ndev
+            right = jnp.where(live, right, eye)
+            part, ex = balance(part @ right,
+                               ex + jnp.where(live, right_ex, 0.0))
             stride *= 2
 
         # the ordered product lives on device 0; broadcast its [0, 0] entry
         # (boundary ranks are 1, so that entry is the value)
-        return jax.lax.psum(jnp.where(me == 0, part[0, 0], 0.0), BOND_AXIS)
+        val = part[0, 0] * _exact_pow2(ex)
+        return jax.lax.psum(jnp.where(me == 0, val, 0.0), BOND_AXIS)
 
     # ------------------------------------------------------------- runner
     def make_run_fn(max_sweeps: int, with_quad: bool, accuracy: float | None):
