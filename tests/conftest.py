@@ -11,6 +11,12 @@ initialized backends rather than rely on env vars alone.
 
 import os
 
+# the jax.export artifact cache exists to skip the axon plugin's slow
+# lowering; on the CPU backend lowering costs ~1 s, so in tests the
+# export/serialize overhead is pure loss (and it fills the cache dir with
+# per-test artifacts)
+os.environ.setdefault("TTCROSS_EXPORT_CACHE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

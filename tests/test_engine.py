@@ -183,3 +183,27 @@ def test_oversample_beats_greedy_ceiling():
                  accuracy=500 * 2.2e-16, quad=w, truth=1.0, oversample=4)
     assert max(over.ranks) <= 8
     assert over.errors[-1] < plain.errors[-1]
+
+
+def test_export_cache_roundtrip(rng, tmp_path, monkeypatch):
+    """The jax.export artifact cache must produce bit-identical results and
+    actually write/reuse artifacts (conftest disables it globally because
+    CPU lowering is cheap; this test opts back in)."""
+    import ttcross_tpu.cross.engine as eng
+
+    _, dense, fun = make_low_rank(rng, 3, 7, (1, 2, 2, 1))
+    baseline = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12)
+
+    monkeypatch.setenv("TTCROSS_EXPORT_CACHE", "1")
+    monkeypatch.setenv("TTCROSS_EXPORT_CACHE_DIR", str(tmp_path))
+    # fresh engine identity -> fresh export path
+    eng._EXPORT_WRAP.clear()
+    cached = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12)
+    assert len(list(tmp_path.glob("*.bin"))) >= 1
+    np.testing.assert_array_equal(np.asarray(tt.full(cached.tt)),
+                                  np.asarray(tt.full(baseline.tt)))
+    # second pass hits the artifact
+    eng._EXPORT_WRAP.clear()
+    again = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12)
+    np.testing.assert_array_equal(np.asarray(tt.full(again.tt)),
+                                  np.asarray(tt.full(baseline.tt)))
