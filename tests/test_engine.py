@@ -207,3 +207,14 @@ def test_export_cache_roundtrip(rng, tmp_path, monkeypatch):
     again = cross(fun, [7] * 3, max_rank=4, pivoting=1, accuracy=1e-12)
     np.testing.assert_array_equal(np.asarray(tt.full(again.tt)),
                                   np.asarray(tt.full(baseline.tt)))
+
+
+@pytest.mark.parametrize("kind,digits_min", [("D", 12), ("E", 10.5)])
+def test_ising_de_cross(kind, digits_min):
+    """D_4 / E_4 through the full cross (the reference's D/E families,
+    test_crs_ising.f90; previously only dense-contraction tested)."""
+    prob = make_ising(kind, m=4, n=33)
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=16,
+                accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    assert -np.log10(res.errors[-1]) >= digits_min
