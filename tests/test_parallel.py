@@ -158,3 +158,22 @@ def test_parallel_dd_8dev_long_chain():
     res = cross_dd_parallel(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=10,
                             pivoting=1, mesh=bond_mesh(jax.devices()[:8]))
     assert _dd_digits(res.value, ISING_C_STR[16]) >= 7
+
+
+def test_parallel_oversample(rng):
+    """cross_parallel(oversample=k): cross-and-round on the mesh."""
+    d, n = 5, 7
+    ranks = (1, 2, 3, 3, 2, 1)
+    cores = [rng.standard_normal((ranks[i], n, ranks[i + 1])) for i in range(d)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("bond",))
+    res = cross_parallel(fun, [n] * d, max_rank=3, pivoting=1,
+                         accuracy=1e-12, mesh=mesh, oversample=2)
+    assert max(res.ranks) <= 3
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-10

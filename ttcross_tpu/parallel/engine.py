@@ -391,13 +391,34 @@ def cross_parallel(
     mesh: Mesh | None = None,
     verbose: bool = False,
     mybonds=None,
+    oversample: int = 0,
 ) -> CrossResult:
     """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
     the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
     cross(); requires len(mesh devices) <= d-1.  mybonds optionally gives
-    custom slab boundaries (ndev+1,), as dtt_dmrgg's mybonds argument."""
+    custom slab boundaries (ndev+1,), as dtt_dmrgg's mybonds argument.
+    oversample: cross-and-round past the greedy fixed-rank ceiling, as in
+    cross() (the rounding runs replicated after the distributed cross)."""
     n = tuple(int(x) for x in n)
     d = len(n)
+    if oversample:
+        res = cross_parallel(fun, n, max_rank=max_rank + int(oversample),
+                             accuracy=accuracy, pivoting=pivoting, quad=quad,
+                             truth=truth, key=key, dtype=dtype, mesh=mesh,
+                             verbose=verbose, mybonds=mybonds)
+        from ..tt.ops import contract
+        from ..tt.ortho import svd_round
+
+        res.tt = svd_round(res.tt, tol=0.0, rmax=max_rank)
+        res.ranks = tuple(int(x) for x in res.tt.r)
+        if quad is not None:
+            val = float(contract(res.tt, list(quad)))
+            res.values.append(val)
+            if truth is not None:
+                res.errors.append(abs(1.0 - val / truth))
+            elif res.values[-2] != 0:
+                res.errors.append(abs(1.0 - val / res.values[-2]))
+        return res
     if mesh is None:
         mesh = bond_mesh()
     se, sp = precision_thresholds(dtype)
