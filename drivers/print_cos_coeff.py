@@ -23,7 +23,7 @@ def main():
     ind[:, -1] = np.arange(kmax)  # grid 1 x 1 x ... x kmax
     vals = np.asarray(cc.fun(ind))
     for k in range(kmax):
-        print(f"  ind={tuple(ind[k])}  coeff={vals[k]: .16e}")
+        print(f"  ind={tuple(int(x) for x in ind[k])}  coeff={vals[k]: .16e}")
 
 
 if __name__ == "__main__":
