@@ -117,6 +117,27 @@ def auto_chunks(max_rank: int, n_chunks: int = 4) -> list[int]:
     return [c for c in ch if c <= max_rank] if ch[-1] == max_rank else ch + [max_rank]
 
 
+def round_and_revalue(res: "CrossResult", max_rank: int, quad, truth):
+    """Shared oversample post-pass (cross() / cross_parallel()): TT-SVD-
+    truncate the oversampled train to max_rank and append the rounded
+    train's quadrature value + error to the history (nan when the previous
+    value is 0, matching _values_errors)."""
+    from ..tt.ops import contract
+    from ..tt.ortho import svd_round
+
+    res.tt = svd_round(res.tt, tol=0.0, rmax=max_rank)
+    res.ranks = tuple(int(x) for x in res.tt.r)
+    if quad is not None:
+        val = float(contract(res.tt, list(quad)))
+        res.values.append(val)
+        if truth is not None:
+            res.errors.append(abs(1.0 - val / truth))
+        else:
+            prev = res.values[-2]
+            res.errors.append(abs(1.0 - val / prev) if prev != 0 else float("nan"))
+    return res
+
+
 def _values_errors(vals, last_it: int, truth, with_quad: bool):
     """values list + per-sweep rel errors (err vs truth, or cnv vs the
     previous sweep) from the packed per-sweep value array."""
@@ -308,10 +329,13 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         # Gumbel transcendentals per candidate
         cdf_c = jnp.cumsum(wcol)
         cdf_r = jnp.cumsum(wrow)
-        t_c = u2[0] * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0)
-        t_r = u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0)
-        # clip: u ~ 1 can round t up to exactly cdf[-1], where side='right'
-        # would return the (out-of-range) table size
+        # clamp t strictly below cdf[-1]: u ~ 1 can round t up to exactly
+        # cdf[-1], where side='right' would step past the LAST ALLOWED
+        # candidate into the masked padding region
+        t_c = jnp.minimum(u2[0] * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0),
+                          jnp.nextafter(cdf_c[-1], 0.0))
+        t_r = jnp.minimum(u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
+                          jnp.nextafter(cdf_r[-1], 0.0))
         lin_c = jnp.minimum(jnp.searchsorted(cdf_c, t_c, side="right"),
                             R * N - 1).astype(jnp.int_)
         lin_r = jnp.minimum(jnp.searchsorted(cdf_r, t_r, side="right"),
@@ -682,15 +706,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         tt.f90:150-197): at d ~ 256+ the raw partial products span
         1e+/-250, beyond even binary64 near the reference's tt_size=2048,
         and far beyond the f32-pair f64 emulation's ~1e+/-38."""
-        from ..ops.dd import _exact_pow2
+        from ..ops.dd import _exact_pow2, pow2_balance
 
         def body(c, carry):
             v, ex = carry
-            v = v @ value_mat(st, w, c)
-            m = jnp.max(jnp.abs(v))
-            e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
-            e = jnp.where(jnp.isfinite(e), e, 0.0)
-            return v * _exact_pow2(-e), ex + e
+            v, e = pow2_balance(v @ value_mat(st, w, c))
+            return v, ex + e
 
         v0 = jnp.zeros((1, R), st.cores.dtype).at[0, 0].set(1.0)
         v, ex = jax.lax.fori_loop(0, d, body, (v0, jnp.zeros((), st.cores.dtype)))
@@ -896,19 +917,7 @@ def cross(
                     use_pallas=use_pallas, max_sweeps=max_sweeps,
                     small_element=small_element, small_pivot=small_pivot,
                     rank_chunks=chunks_over, weighted_lottery=weighted_lottery)
-        from ..tt.ortho import svd_round
-        from ..tt.ops import contract
-
-        res.tt = svd_round(res.tt, tol=0.0, rmax=max_rank)
-        res.ranks = tuple(int(x) for x in res.tt.r)
-        if quad is not None:
-            val = float(contract(res.tt, list(quad)))
-            res.values.append(val)
-            if truth is not None:
-                res.errors.append(abs(1.0 - val / truth))
-            elif res.values[-2] != 0:
-                res.errors.append(abs(1.0 - val / res.values[-2]))
-        return res
+        return round_and_revalue(res, max_rank, quad, truth)
     se, sp = precision_thresholds(dtype)
     # acceptance thresholds are overridable: the per-dtype defaults
     # (dmrgg.f90:62-84) reject pivots 5+ orders below the current max,

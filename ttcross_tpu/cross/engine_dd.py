@@ -530,13 +530,15 @@ def cross_dd(
     st = init_fn(jax.random.PRNGKey(key) if isinstance(key, int) else key)
     from decimal import Decimal, localcontext
 
-    wh_pad = np.zeros((d, cfg.N))
-    wl_pad = np.zeros((d, cfg.N))
-    for c in range(d):
-        wh_pad[c, : n[c]] = np.asarray(weights_hi[c])
-        wl_pad[c, : n[c]] = np.asarray(weights_lo[c])
-    wh_pad = jnp.asarray(wh_pad)
-    wl_pad = jnp.asarray(wl_pad)
+    wh_pad = wl_pad = None
+    if verbose:   # per-sweep value telemetry only; skip the transfer otherwise
+        wh_pad = np.zeros((d, cfg.N))
+        wl_pad = np.zeros((d, cfg.N))
+        for c in range(d):
+            wh_pad[c, : n[c]] = np.asarray(weights_hi[c])
+            wl_pad[c, : n[c]] = np.asarray(weights_lo[c])
+        wh_pad = jnp.asarray(wh_pad)
+        wl_pad = jnp.asarray(wl_pad)
     val_prev = None
     strike = 0
     it = 0

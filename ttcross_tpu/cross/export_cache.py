@@ -51,11 +51,14 @@ def _source_hash() -> str:
     global _SRC_HASH
     if _SRC_HASH is None:
         from .. import config
-        from ..ops import dense, lu
+        from ..ops import dd, dense, lu
         from . import chains, engine, state
 
         h = hashlib.sha256()
-        for mod in (engine, chains, state, lu, dense, config):
+        # every module whose code can be traced into the exported artifact
+        # (dd supplies _exact_pow2 / balancing used by value_fn and the
+        # lookup rescale)
+        for mod in (engine, chains, state, lu, dense, dd, config):
             with open(mod.__file__, "rb") as f:
                 h.update(f.read())
         _SRC_HASH = h.hexdigest()[:16]

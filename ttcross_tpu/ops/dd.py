@@ -195,13 +195,20 @@ def dd_exp(x: DD) -> DD:
         s = dd_mul(s, s)
     pow2 = _exact_pow2(k)
     out = DD(s.hi * pow2, s.lo * pow2)
-    # flush-to-zero below the platform's representable range (the axon TPU
+    # saturate OUTSIDE the platform's representable range (the axon TPU
     # emulates f64 as a float32 pair -> f32 exponent range; the reference
-    # handles the same regime by rescaling, test_crs_ising.f90:135-144)
-    floor = -708.0 if _full_f64_range() else -86.0
+    # handles the same regime by rescaling, test_crs_ising.f90:135-144):
+    # flush to zero below the floor, overflow to inf above the ceiling
+    # (without the ceiling the clipped 2^k would return a silently wrong
+    # FINITE value on the limited-range platform)
+    if _full_f64_range():
+        floor, ceil = -708.0, 709.9
+    else:
+        floor, ceil = -86.0, 87.4
     z = jnp.zeros_like(x.hi)
-    return DD(jnp.where(x.hi < floor, z, out.hi),
-              jnp.where(x.hi < floor, z, out.lo))
+    hi = jnp.where(x.hi < floor, z, jnp.where(x.hi > ceil, jnp.inf, out.hi))
+    lo = jnp.where((x.hi < floor) | (x.hi > ceil), z, out.lo)
+    return DD(hi, lo)
 
 
 _RANGE_PROBE = None
@@ -219,6 +226,18 @@ def _full_f64_range() -> bool:
         except Exception:
             _RANGE_PROBE = True
     return _RANGE_PROBE
+
+
+def pow2_balance(x):
+    """Norm-balance by an EXACT power of two: returns (x * 2^-e, e) with
+    max|x * 2^-e| near 1.  Shared by the value-chain balancing
+    (cross/engine.py, parallel/engine.py) and the lookup range rescale
+    (ops/dense.py); the approximate log2 only needs to land within a few
+    exponents of the true one."""
+    m = jnp.max(jnp.abs(x))
+    e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
+    e = jnp.where(jnp.isfinite(e), e, 0.0)
+    return x * _exact_pow2(-e), e
 
 
 def _pow2_chain(k, bits: int):

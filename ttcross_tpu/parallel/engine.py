@@ -276,7 +276,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         past the edge), so after ceil(log2 ndev) ppermutes device 0 holds
         the full ordered product.  O(log ndev) (R, R) messages instead of an
         all_gather of ndev R^2 blocks + an O(ndev)-depth replicated chain."""
-        from ..ops.dd import _exact_pow2
+        from ..ops.dd import _exact_pow2, pow2_balance
 
         me = jax.lax.axis_index(BOND_AXIS)
         cnt = own_hi - own_lo + jnp.where(me == ndev - 1, 1, 0)
@@ -286,10 +286,8 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         def balance(part, ex):
             # exact power-of-2 norm balancing (see engine.value_fn): long
             # chains overflow the raw partial products
-            m = jnp.max(jnp.abs(part))
-            e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
-            e = jnp.where(jnp.isfinite(e), e, 0.0)
-            return part * _exact_pow2(-e), ex + e
+            part, e = pow2_balance(part)
+            return part, ex + e
 
         def body(idx, carry):
             part, ex = carry
@@ -406,19 +404,9 @@ def cross_parallel(
                              accuracy=accuracy, pivoting=pivoting, quad=quad,
                              truth=truth, key=key, dtype=dtype, mesh=mesh,
                              verbose=verbose, mybonds=mybonds)
-        from ..tt.ops import contract
-        from ..tt.ortho import svd_round
+        from ..cross.engine import round_and_revalue
 
-        res.tt = svd_round(res.tt, tol=0.0, rmax=max_rank)
-        res.ranks = tuple(int(x) for x in res.tt.r)
-        if quad is not None:
-            val = float(contract(res.tt, list(quad)))
-            res.values.append(val)
-            if truth is not None:
-                res.errors.append(abs(1.0 - val / truth))
-            elif res.values[-2] != 0:
-                res.errors.append(abs(1.0 - val / res.values[-2]))
-        return res
+        return round_and_revalue(res, max_rank, quad, truth)
     if mesh is None:
         mesh = bond_mesh()
     se, sp = precision_thresholds(dtype)
