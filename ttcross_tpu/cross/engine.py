@@ -331,11 +331,14 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         cdf_r = jnp.cumsum(wrow)
         # clamp t strictly below cdf[-1]: u ~ 1 can round t up to exactly
         # cdf[-1], where side='right' would step past the LAST ALLOWED
-        # candidate into the masked padding region
+        # candidate into the masked padding region.  (1 - 4 ulp) multiply
+        # instead of nextafter — nextafter needs an s64 bitcast that the
+        # TPU x64 rewrite does not implement.
+        below = 1.0 - 2.0 ** -50
         t_c = jnp.minimum(u2[0] * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0),
-                          jnp.nextafter(cdf_c[-1], 0.0))
+                          cdf_c[-1] * below)
         t_r = jnp.minimum(u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
-                          jnp.nextafter(cdf_r[-1], 0.0))
+                          cdf_r[-1] * below)
         lin_c = jnp.minimum(jnp.searchsorted(cdf_c, t_c, side="right"),
                             R * N - 1).astype(jnp.int_)
         lin_r = jnp.minimum(jnp.searchsorted(cdf_r, t_r, side="right"),
