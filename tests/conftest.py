@@ -25,6 +25,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compilation cache: the suite is compile-dominated (dozens
+# of engine configs at ~2-10 s each on CPU); repeat invocations hit the
+# cache and run in roughly half the time
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ttcross_tpu_test_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:
     from jax._src import xla_bridge
 

@@ -40,6 +40,7 @@ def test_dd_integrand_matches_native(rng):
     assert err.max() < 1e-28 * max(1.0, np.abs(hh).max())
 
 
+@pytest.mark.slow
 def test_defect_corrected_c4():
     """Ising C_4 defect-corrected: beats the plain f64 pipeline."""
     prob, fun_dd, wh, wl = make_ising_dd(m=4, n=33)

@@ -209,7 +209,8 @@ def test_export_cache_roundtrip(rng, tmp_path, monkeypatch):
                                   np.asarray(tt.full(baseline.tt)))
 
 
-@pytest.mark.parametrize("kind,digits_min", [("D", 12), ("E", 10.5)])
+@pytest.mark.parametrize("kind,digits_min", [("D", 12),
+                         pytest.param("E", 10.5, marks=pytest.mark.slow)])
 def test_ising_de_cross(kind, digits_min):
     """D_4 / E_4 through the full cross (the reference's D/E families,
     test_crs_ising.f90; previously only dense-contraction tested)."""
