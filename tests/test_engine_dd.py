@@ -47,6 +47,35 @@ def test_dd_engine_c6():
     assert digits >= 17, digits
 
 
+def test_dd_log_domain_thresholds_wide_range():
+    """A D/E-style wide-dynamic-range integrand (values ~1e-280) crosses
+    correctly: acceptance and stopping compare log10 magnitudes
+    (dmrggmp.f90:50-53), so no threshold product underflows.  In the
+    linear domain small_element * amax = 1e-30 * 1e-280 flushes to 0 and
+    the quiet test accuracy * amax = 0 never fires."""
+    from decimal import Decimal, localcontext
+
+    from ttcross_tpu.ops.dd import DD
+
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=33)
+    s = 2.0 ** -930                       # ~1.12e-280, exact in binary64
+
+    def fun_scaled(ind):
+        v = fun_dd(ind)
+        return DD(v.hi * s, v.lo * s)     # exact power-of-2 scaling
+
+    res = cross_dd(fun_scaled, [prob.n] * prob.d, wh, wl, max_rank=16,
+                   pivoting=1, accuracy=1e-8)
+    assert res.sweeps < 15                # the quiet-strike stop FIRED
+    with localcontext() as ctx:
+        ctx.prec = 60
+        got = Decimal(res.value[0]) + Decimal(res.value[1])
+        tru = Decimal(ISING_C_STR[4]) * (Decimal(2) ** -930)
+        rel = abs(1 - got / tru)
+        digits = float(-rel.log10()) if rel != 0 else 60.0
+    assert digits >= 9, digits
+
+
 def test_dd_per_sweep_value_matches_final(capsys):
     """The in-loop dd value (mptt_dmrgg's per-iteration line,
     dmrggmp.f90:655-672) must converge to the finalized train's quadrature

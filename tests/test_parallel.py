@@ -141,6 +141,31 @@ def test_parallel_dd_matches_single_device():
     assert par.ranks == single.ranks
 
 
+def test_parallel_dd_per_sweep_value_telemetry(capsys):
+    """cross_dd_parallel(verbose=True) prints the per-sweep dd quadrature
+    value with err (dmrggmp.f90:655-672, distributed via an ordered
+    cross-device fold); the last in-loop value converges to the finalized
+    train's quadrature value."""
+    from ttcross_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from ttcross_tpu.apps.ising import make_ising_dd
+    from ttcross_tpu.apps.truths import ISING_C_STR
+    from ttcross_tpu.parallel import cross_dd_parallel
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    prob, fun_dd, wh, wl = make_ising_dd(m=4, n=17)
+    res = cross_dd_parallel(fun_dd, [prob.n] * prob.d, wh, wl, max_rank=8,
+                            pivoting=1, mesh=bond_mesh(jax.devices()[:2]),
+                            verbose=True, truth=ISING_C_STR[4])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if "err" in ln and "val" in ln]
+    assert len(lines) >= 5
+    last_val = float(lines[-1].split("val")[-1])
+    assert abs(last_val - (res.value[0] + res.value[1])) < 1e-12
+
+
 @pytest.mark.slow
 def test_parallel_dd_8dev_long_chain():
     """8-device dd cross of Ising C_16 (d=15): the full mesh works beyond

@@ -121,9 +121,15 @@ def round_and_revalue(res: "CrossResult", max_rank: int, quad, truth):
     """Shared oversample post-pass (cross() / cross_parallel()): TT-SVD-
     truncate the oversampled train to max_rank and append the rounded
     train's quadrature value + error to the history (nan when the previous
-    value is 0, matching _values_errors)."""
+    value is 0, matching _values_errors).
+
+    Telemetry stays consistent with the returned train: the revaluation is
+    appended as its own SweepRecord (direction 'rd', n_evals unchanged —
+    rounding evaluates nothing), so values/errors/history all have one
+    trailing post-round entry describing the truncated train."""
     from ..tt.ops import contract
     from ..tt.ortho import svd_round
+    from ..utils.metrics import SweepRecord
 
     res.tt = svd_round(res.tt, tol=0.0, rmax=max_rank)
     res.ranks = tuple(int(x) for x in res.tt.r)
@@ -135,6 +141,13 @@ def round_and_revalue(res: "CrossResult", max_rank: int, quad, truth):
         else:
             prev = res.values[-2]
             res.errors.append(abs(1.0 - val / prev) if prev != 0 else float("nan"))
+        if res.history is not None:
+            res.history.append(SweepRecord(
+                it=res.sweeps + 1, direction="rd", n_evals=res.neval,
+                pivotmax=float(res.history[-1].pivotmax) if res.history else 0.0,
+                value=val,
+                err=res.errors[-1] if truth is not None else None,
+                cnv=None if truth is not None else res.errors[-1]))
     return res
 
 

@@ -16,7 +16,17 @@ fun_dd(ind (B, d)) -> DD — e.g. apps.ising.ising_c_integrand_dd.
 Default thresholds are the dd analogues of the reference's per-precision
 dispatch (dmrgg.f90:62-84): small_element ~ 100 * 1e-32, small_pivot 1e-12
 (the relative floor is wider than f64's 1e-5 because dd crosses chase many
-more orders of magnitude)."""
+more orders of magnitude).
+
+Thresholds and magnitude tracking live in the LOG10 DOMAIN, exactly like
+the reference's mp engine (dmrggmp.f90:50-53, 107, 364): DDState.amax /
+pivotmax / pivotmax_prev hold log10 magnitudes, and acceptance compares
+log10|pivot| > log10(small) + log10(amax).  A linear-domain product
+small_element * amax underflows (flushes to 0, accepting everything and
+never stopping) once amax drops below ~1e-278 on binary64 — or ~1e-8 (!)
+on the f32-pair emulated-f64 platform whose exponent range is f32's —
+while integrand families like the rescaled Ising D/E span exactly such
+ranges."""
 
 from __future__ import annotations
 
@@ -54,9 +64,9 @@ class DDState(NamedTuple):
     itt: DD     # (d-1, R, R) maintained T^-1
     rk: jax.Array
     vip: jax.Array
-    amax: jax.Array           # f64 (hi magnitude is enough for thresholds)
-    pivotmax: jax.Array
-    pivotmax_prev: jax.Array
+    amax: jax.Array           # LOG10 of the max |entry| seen (dmrggmp.f90:107)
+    pivotmax: jax.Array       # LOG10 of the sweep's max accepted |pivot|
+    pivotmax_prev: jax.Array  # LOG10; -inf marks "nothing yet"
     neval: jax.Array
     key: jax.Array
 
@@ -83,6 +93,7 @@ class DDKit(NamedTuple):
     eval_row: Callable
     cfg: "DDConfig"
     value_fn: Callable = None
+    value_mat: Callable = None
 
 
 def _ddz(shape):
@@ -135,12 +146,23 @@ def _mm_right(X: DD, itt: DD) -> DD:
     return dd_sum(prod, axis=1)
 
 
+def _l10max(x) -> jax.Array:
+    """log10(max|x|); -inf for an all-zero block (log10(0) lowers to -inf,
+    no NaN) — magnitudes stay in the log domain end to end so no threshold
+    product can underflow (dmrggmp.f90:50-53)."""
+    return jnp.log10(jnp.max(jnp.abs(x)))
+
+
 def _make_engine(fun_dd: Callable, cfg: DDConfig):
     d, N, R = cfg.d, cfg.N, cfg.R
     n_arr = jnp.asarray(cfg.n, jnp.int32)
     NLOT = 2 * (R + N)
     iR = jnp.arange(R)
     iN = jnp.arange(N)
+    # acceptance thresholds in log10 (dmrggmp.f90:50-53); the public API
+    # keeps linear small_element / small_pivot for parity with the f64 tier
+    lse = float(np.log10(cfg.small_element))
+    lsp = float(np.log10(cfg.small_pivot))
 
     def mask2(st, p, rows_rank: bool):
         if rows_rank:
@@ -159,7 +181,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         cand = jnp.reshape((ks + ss * ps) % n_arr[None, None, :], (-1, d)).astype(jnp.int32)
         vals = fun_dd(cand)
         best = jnp.argmax(jnp.abs(vals.hi))
-        amax = jnp.abs(vals.hi[best])
+        amax = jnp.log10(jnp.abs(vals.hi[best]))
         ind0 = cand[best]
 
         vip = jnp.zeros((d - 1, R, 4), jnp.int32)
@@ -175,7 +197,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         fvals = DD(fv.hi.reshape(d, N), fv.lo.reshape(d, N))
         fmask = iN[None, :] < n_arr[:, None]
         fvals = _zero_masked(fvals, fmask)
-        amax = jnp.maximum(amax, jnp.max(jnp.abs(fvals.hi)))
+        amax = jnp.maximum(amax, _l10max(fvals.hi))
 
         cores = _ddz((d, R, N, R))
         cores = DD(cores.hi.at[:, 0, :, 0].set(fvals.hi),
@@ -195,7 +217,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         neval = jnp.asarray(cfg.snum * nn + int(sum(cfg.n)), jnp.int64)
         return DDState(cores=cores, colf=colf, rowf=rowf, itl=itl, itt=itt,
                        rk=jnp.ones((d + 1,), jnp.int32), vip=vip,
-                       amax=amax, pivotmax=jnp.full((), -1.0),
+                       amax=amax, pivotmax=jnp.full((), -jnp.inf),
                        pivotmax_prev=amax, neval=neval, key=key)
 
     def eval_col(st, p, ltab, rtab, kk, qq):
@@ -204,7 +226,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         v = fun_dd(ind)
         vals = _zero_masked(DD(v.hi.reshape(R, N), v.lo.reshape(R, N)),
                             mask2(st, p, True))
-        amax = jnp.maximum(st.amax, jnp.max(jnp.abs(vals.hi)))
+        amax = jnp.maximum(st.amax, _l10max(vals.hi))
         neval = st.neval + (st.rk[p] * n_arr[p]).astype(jnp.int64)
         return vals, amax, neval
 
@@ -215,7 +237,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         v = fun_dd(ind)
         vals = _zero_masked(DD(v.hi.reshape(N, R), v.lo.reshape(N, R)),
                             mask2(st, p, False))
-        amax = jnp.maximum(st.amax, jnp.max(jnp.abs(vals.hi)))
+        amax = jnp.maximum(st.amax, _l10max(vals.hi))
         neval = st.neval + (n_arr[p + 1] * st.rk[p + 2]).astype(jnp.int64)
         return vals, amax, neval
 
@@ -244,7 +266,8 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
 
         ind = assemble_indices(ltab, rtab, p, i_c, j_c, k_c, q_c, d)
         b = fun_dd(ind)
-        amax = jnp.maximum(st.amax, jnp.max(jnp.where(candmask, jnp.abs(b.hi), 0.0)))
+        amax = jnp.maximum(st.amax,
+                           _l10max(jnp.where(candmask, jnp.abs(b.hi), 0.0)))
         neval = st.neval + nlot_act.astype(jnp.int64)
         st = st._replace(amax=amax, neval=neval, key=key)
 
@@ -314,8 +337,12 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         amax, neval, ii, jj, kk, qq, pivot, acol, arow = carry
         st = st._replace(amax=amax, neval=neval)
 
-        upd = ((jnp.abs(pivot.hi) > cfg.small_element * st.amax)
-               & (jnp.abs(pivot.hi) > cfg.small_pivot * st.pivotmax_prev)
+        # two-threshold acceptance in log10 (dmrggmp.f90:50-53, 364):
+        # log10|pivot| must clear lse + lg(amax) and lsp + lg(pivotmax');
+        # an exact-zero pivot gives -inf and is always rejected
+        lpiv = jnp.log10(jnp.abs(pivot.hi))
+        upd = ((lpiv > lse + st.amax)
+               & (lpiv > lsp + st.pivotmax_prev)
                & (st.rk[p + 1] < R))
 
         # tape rows for the distributed engine (parallel/engine_dd.py):
@@ -385,8 +412,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
 
             colf = jax.lax.cond(pz < own_hi - 1, right_cols, lambda c: c, colf)
 
-            apiv = jnp.abs(pivot.hi)
-            pivotmax = jnp.where(st.pivotmax < 0, apiv, jnp.maximum(st.pivotmax, apiv))
+            pivotmax = jnp.maximum(st.pivotmax, lpiv)
             return st._replace(cores=cores, colf=colf, rowf=rowf, itl=itl, itt=itt,
                                rk=st.rk.at[p + 1].add(1), vip=vip, pivotmax=pivotmax)
 
@@ -395,7 +421,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
     @jax.jit
     def sweep_fn(st: DDState, it) -> DDState:
         dir_fwd = (it % 2) == 1
-        st = st._replace(pivotmax=jnp.full((), -1.0))
+        st = st._replace(pivotmax=jnp.full((), -jnp.inf))
         LT = all_left_tables(st.vip, d)
         RT = all_right_tables(st.vip, d)
         tab0 = jnp.zeros((R, d), st.vip.dtype)
@@ -414,6 +440,26 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         st, _ = jax.lax.fori_loop(0, d - 1, body, (st, tab0))
         return st._replace(pivotmax_prev=st.pivotmax)
 
+    def value_mat(st: DDState, wh, wl, c) -> DD:
+        """LU-solved (R, R) dd contraction matrix of core c against dd
+        weights (wh, wl)[c] — the ttqq core + mptt_lua application
+        (dmrggmp.f90:655-672).  Shared by value_fn and the distributed
+        per-sweep value (parallel/engine_dd.py)."""
+        g = _at_dd(st.cores, c)                              # (R, N, R)
+        w = DD(_at(wh, c), _at(wl, c))                       # (N,)
+        prod = dd_mul(g, DD(w.hi[None, :, None], w.lo[None, :, None]))
+        m = dd_sum(prod, axis=1)                             # (R, R)
+        itl_c = _at_dd(st.itl, jnp.maximum(c - 1, 0))
+        solved = dd_sum(dd_mul(DD(itl_c.hi[:, :, None], itl_c.lo[:, :, None]),
+                               DD(m.hi[None], m.lo[None])), axis=1)
+        m = DD(jnp.where(c > 0, solved.hi, m.hi),
+               jnp.where(c > 0, solved.lo, m.lo))
+        itt_c = _at_dd(st.itt, jnp.minimum(c, d - 2))
+        solved = dd_sum(dd_mul(DD(m.hi[:, :, None], m.lo[:, :, None]),
+                               DD(itt_c.hi[None], itt_c.lo[None])), axis=1)
+        return DD(jnp.where(c < d - 1, solved.hi, m.hi),
+                  jnp.where(c < d - 1, solved.lo, m.lo))
+
     @jax.jit
     def value_fn(st: DDState, wh, wl) -> DD:
         """Per-sweep dd quadrature value of the CURRENT cross (the mp
@@ -421,24 +467,8 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
         core against the dd weights, apply the maintained inverses, chain
         the (R, R) mats — all in dd."""
 
-        def mat(c):
-            g = _at_dd(st.cores, c)                              # (R, N, R)
-            w = DD(_at(wh, c), _at(wl, c))                       # (N,)
-            prod = dd_mul(g, DD(w.hi[None, :, None], w.lo[None, :, None]))
-            m = dd_sum(prod, axis=1)                             # (R, R)
-            itl_c = _at_dd(st.itl, jnp.maximum(c - 1, 0))
-            solved = dd_sum(dd_mul(DD(itl_c.hi[:, :, None], itl_c.lo[:, :, None]),
-                                   DD(m.hi[None], m.lo[None])), axis=1)
-            m = DD(jnp.where(c > 0, solved.hi, m.hi),
-                   jnp.where(c > 0, solved.lo, m.lo))
-            itt_c = _at_dd(st.itt, jnp.minimum(c, d - 2))
-            solved = dd_sum(dd_mul(DD(m.hi[:, :, None], m.lo[:, :, None]),
-                                   DD(itt_c.hi[None], itt_c.lo[None])), axis=1)
-            return DD(jnp.where(c < d - 1, solved.hi, m.hi),
-                      jnp.where(c < d - 1, solved.lo, m.lo))
-
         def body(c, v):
-            m = mat(c)
+            m = value_mat(st, wh, wl, c)
             prod = dd_mul(DD(v.hi[:, None], v.lo[:, None]), m)
             return dd_sum(prod, axis=0)
 
@@ -467,7 +497,7 @@ def _make_engine(fun_dd: Callable, cfg: DDConfig):
 
     return DDKit(init_fn=init_fn, sweep_fn=sweep_fn, finalize_fn=finalize_fn,
                  visit_bond=visit_bond, eval_col=eval_col, eval_row=eval_row,
-                 cfg=cfg, value_fn=value_fn)
+                 cfg=cfg, value_fn=value_fn, value_mat=value_mat)
 
 
 _DD_CACHE: dict = {}
@@ -539,13 +569,14 @@ def cross_dd(
             wl_pad[c, : n[c]] = np.asarray(weights_lo[c])
         wh_pad = jnp.asarray(wh_pad)
         wl_pad = jnp.asarray(wl_pad)
+    lacc = float(np.log10(accuracy))
     val_prev = None
     strike = 0
     it = 0
     while it + 1 < max_rank:
         it += 1
         st = sweep_fn(st, jnp.asarray(it))
-        pm = float(st.pivotmax)
+        pm = float(st.pivotmax)     # log10 magnitudes (dmrggmp.f90:50-53)
         am = float(st.amax)
         if verbose:
             v = kit.value_fn(st, wh_pad, wl_pad)
@@ -561,9 +592,10 @@ def cross_dd(
                 else:
                     tag = ""
                 val_prev = val
-                print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd pivotmax {pm:9.3e} "
-                      f"amax {am:9.3e} n_evals {int(st.neval)} {tag} val {val:.32e}")
-        if pm <= accuracy * am:
+                print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd "
+                      f"lg(pivotmax) {pm:8.2f} lg(amax) {am:8.2f} "
+                      f"n_evals {int(st.neval)} {tag} val {val:.32e}")
+        if pm <= lacc + am:
             strike += 1
         else:
             strike = 0

@@ -32,7 +32,6 @@ import numpy as np
 __all__ = ["cached_full_fn", "enabled"]
 
 _SRC_HASH = None
-_FP_CACHE: dict = {}
 
 
 def enabled() -> bool:
@@ -51,14 +50,17 @@ def _source_hash() -> str:
     global _SRC_HASH
     if _SRC_HASH is None:
         from .. import config
-        from ..ops import dd, dense, lu
+        from ..ops import dd, dense, lu, pallas_kernels
+        from ..parallel import engine as parallel_engine
         from . import chains, engine, state
 
         h = hashlib.sha256()
         # every module whose code can be traced into the exported artifact
         # (dd supplies _exact_pow2 / balancing used by value_fn and the
-        # lookup rescale)
-        for mod in (engine, chains, state, lu, dense, dd, config):
+        # lookup rescale; pallas_kernels is traced when cfg.use_pallas,
+        # parallel.engine when the distributed path caches its executable)
+        for mod in (engine, chains, state, lu, dense, dd, config,
+                    pallas_kernels, parallel_engine):
             with open(mod.__file__, "rb") as f:
                 h.update(f.read())
         _SRC_HASH = h.hexdigest()[:16]
@@ -66,26 +68,24 @@ def _source_hash() -> str:
 
 
 def _fingerprint(fun, cfg) -> str:
-    """Hash of the integrand's values on a fixed probe batch."""
-    target = getattr(fun, "__self__", fun)
-    ck = (id(target), getattr(fun, "__name__", None), cfg.n)
-    fp = _FP_CACHE.get(ck)
-    if fp is None:
-        import jax
-        import jax.numpy as jnp
+    """Hash of the integrand's values on a fixed probe batch.  Recomputed
+    on every call — memoizing by object id would serve a stale fingerprint
+    for an integrand closure whose captured data was mutated in place (the
+    64 CPU evals are negligible next to a cross run)."""
+    import jax
+    import jax.numpy as jnp
 
-        rng = np.random.default_rng(0x7C5)
-        ind = np.stack([rng.integers(0, nj, size=64) for nj in cfg.n],
-                       axis=1).astype(np.int32)
-        # evaluate on the CPU backend: eager ops through the TPU tunnel
-        # cost ~26 ms each, and CPU values are platform-independent
-        try:
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                vals = np.asarray(fun(jnp.asarray(ind)), dtype=np.float64)
-        except Exception:
+    rng = np.random.default_rng(0x7C5)
+    ind = np.stack([rng.integers(0, nj, size=64) for nj in cfg.n],
+                   axis=1).astype(np.int32)
+    # evaluate on the CPU backend: eager ops through the TPU tunnel
+    # cost ~26 ms each, and CPU values are platform-independent
+    try:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
             vals = np.asarray(fun(jnp.asarray(ind)), dtype=np.float64)
-        fp = _FP_CACHE[ck] = hashlib.sha256(vals.tobytes()).hexdigest()[:16]
-    return fp
+    except Exception:
+        vals = np.asarray(fun(jnp.asarray(ind)), dtype=np.float64)
+    return hashlib.sha256(vals.tobytes()).hexdigest()[:16]
 
 
 def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,

@@ -262,14 +262,19 @@ def _exact_pow2(k):
     lower on the TPU x64 rewrite path (s64 bitcast unimplemented).
 
     Full-range binary64 splits k into two halves (|half| <= 530, each
-    chain finite) so every k in [-1060, 1060] is exact and |k| > 1023
-    overflows to inf / underflows to 0 as true 2^k would."""
+    chain finite) so every k in [-1060, 1060] is exact and k > 1023
+    overflows to inf as true 2^k would.  Beyond the clamp range the result
+    SATURATES to inf / 0.0 (a clamped-k chain value would be a silently
+    wrong finite scale; the subnormal tail below the negative clamp is
+    flushed to 0, like dd_exp's floor/ceil saturation)."""
     if _full_f64_range():
-        k = jnp.clip(k, -1060.0, 1060.0)
-        a = jnp.trunc(k * 0.5)
-        return _pow2_chain(a, 10) * _pow2_chain(k - a, 10)
-    k = jnp.clip(k, -126.0, 126.0)     # f32-pair exponent range
-    return _pow2_chain(k, 7)
+        kc = jnp.clip(k, -1060.0, 1060.0)
+        a = jnp.trunc(kc * 0.5)
+        r = _pow2_chain(a, 10) * _pow2_chain(kc - a, 10)
+        return jnp.where(k < -1060.0, 0.0, jnp.where(k > 1060.0, jnp.inf, r))
+    kc = jnp.clip(k, -126.0, 126.0)    # f32-pair exponent range
+    r = _pow2_chain(kc, 7)
+    return jnp.where(k < -126.0, 0.0, jnp.where(k > 126.0, jnp.inf, r))
 
 
 def dd_log(x: DD) -> DD:

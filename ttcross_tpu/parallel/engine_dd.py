@@ -76,7 +76,7 @@ def make_parallel_dd_engine(fun_dd: Callable, cfg: DDConfig, mesh: Mesh,
     def local_sweep(st: DDState, it, own_lo, own_hi):
         cnt = own_hi - own_lo
         dir_fwd = (it % 2) == 1
-        st = st._replace(pivotmax=jnp.full((), -1.0))
+        st = st._replace(pivotmax=jnp.full((), -jnp.inf))
         tape_i = jnp.zeros((d - 1, 5), jnp.int32)
         tape_f = jnp.zeros((d - 1, TFW), jnp.float64)
         LT = all_left_tables(st.vip, d)
@@ -146,9 +146,8 @@ def make_parallel_dd_engine(fun_dd: Callable, cfg: DDConfig, mesh: Mesh,
                              jnp.where(one_hot, inv_piv.lo, col_raw.lo))
                 itt_bn = _dus(itt_b, DD(new_col.hi[:, None], new_col.lo[:, None]), (z, s))
                 itt = _dus(st.itt, DD(itt_bn.hi[None], itt_bn.lo[None]), (bz, z, z))
-                apiv = jnp.abs(pivot.hi)
-                pivotmax = jnp.where(st.pivotmax < 0, apiv,
-                                     jnp.maximum(st.pivotmax, apiv))
+                # log10-domain pivot magnitude (dmrggmp.f90:50-53)
+                pivotmax = jnp.maximum(st.pivotmax, jnp.log10(jnp.abs(pivot.hi)))
                 return st._replace(vip=vip, itl=itl, itt=itt,
                                    rk=st.rk.at[b + 1].add(1), pivotmax=pivotmax)
 
@@ -218,31 +217,73 @@ def make_parallel_dd_engine(fun_dd: Callable, cfg: DDConfig, mesh: Mesh,
 
     init_neval = cfg.snum * int(min(cfg.n)) + int(sum(cfg.n))
 
-    def make_run_fn(max_sweeps: int, accuracy: float):
-        def run_body(st: DDState):
+    def dist_value(st: DDState, wh, wl, own_lo, own_hi, me) -> DD:
+        """Distributed per-sweep dd quadrature value (the mp tier's in-loop
+        value line, dmrggmp.f90:655-672 + the mptt_quad tree reduction,
+        778-888): each device chains the LU-solved (R, R) dd mats of its
+        AUTHORITATIVE cores, the per-device partial products are
+        all-gathered in bond order, and the ordered fold finishes on every
+        device (replicated scalar)."""
+        c_idx = jnp.arange(d)
+        authority = (c_idx >= own_lo) & (c_idx < own_hi)
+        authority = authority | ((c_idx == d - 1) & (me == ndev - 1))
+
+        def body(c, acc):
+            m = kit.value_mat(st, wh, wl, c)
+            prod = dd_sum(dd_mul(DD(acc.hi[:, :, None], acc.lo[:, :, None]),
+                                 DD(m.hi[None], m.lo[None])), axis=1)
+            keep = authority[c]
+            return DD(jnp.where(keep, prod.hi, acc.hi),
+                      jnp.where(keep, prod.lo, acc.lo))
+
+        eyeR = jnp.eye(R)
+        acc = jax.lax.fori_loop(0, d, body, DD(eyeR, jnp.zeros((R, R))))
+        parts = DD(jax.lax.all_gather(acc.hi, BOND_AXIS),
+                   jax.lax.all_gather(acc.lo, BOND_AXIS))    # (ndev, R, R)
+
+        def fold(w, v):
+            m = _at_dd(parts, w)
+            prod = dd_mul(DD(v.hi[:, None], v.lo[:, None]), m)
+            return dd_sum(prod, axis=0)
+
+        v0 = DD(jnp.zeros((R,)).at[0].set(1.0), jnp.zeros((R,)))
+        v = jax.lax.fori_loop(0, ndev, fold, v0)
+        return DD(v.hi[0], v.lo[0])
+
+    def make_run_fn(max_sweeps: int, accuracy: float, with_value: bool = False):
+        lacc = float(np.log10(accuracy))
+
+        def run_body(st: DDState, wh, wl):
             me = jax.lax.axis_index(BOND_AXIS)
             own_lo, own_hi = own_lo_tbl[me], own_hi_tbl[me]
             st = st._replace(key=jax.random.fold_in(st.key, me))
             pmax0 = jnp.zeros((max_sweeps + 1,))
             nev0 = jnp.zeros((max_sweeps + 1,), jnp.int64)
+            valh0 = jnp.zeros((max_sweeps + 1,))
+            vall0 = jnp.zeros((max_sweeps + 1,))
 
             def cond(carry):
                 return ~carry[-1]
 
             def body(carry):
-                st, it, strike, pmax, nev, done = carry
+                st, it, strike, pmax, nev, valh, vall, done = carry
                 st = psweep(st, it, own_lo, own_hi)
                 pmax = pmax.at[it].set(st.pivotmax)
                 nev = nev.at[it].set(jax.lax.psum(st.neval - init_neval, BOND_AXIS)
                                      + init_neval)
-                quiet = st.pivotmax <= accuracy * st.amax
+                if with_value:
+                    v = dist_value(st, wh, wl, own_lo, own_hi, me)
+                    valh = valh.at[it].set(v.hi)
+                    vall = vall.at[it].set(v.lo)
+                # quiet test in log10 (dmrggmp.f90:50-53)
+                quiet = st.pivotmax <= lacc + st.amax
                 strike = jnp.where(quiet, strike + 1, 0)
                 ready = (it + 1 >= max_sweeps + 1) | (strike >= 3)
-                return (st, it + 1, strike, pmax, nev, ready)
+                return (st, it + 1, strike, pmax, nev, valh, vall, ready)
 
             init = (st, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
-                    pmax0, nev0, jnp.asarray(max_sweeps < 1))
-            st, it, _, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
+                    pmax0, nev0, valh0, vall0, jnp.asarray(max_sweeps < 1))
+            st, it, _, pmax, nev, valh, vall, _ = jax.lax.while_loop(cond, body, init)
 
             # authoritative cores -> replicated (hi and lo planes)
             c_idx = jnp.arange(d)
@@ -253,11 +294,11 @@ def make_parallel_dd_engine(fun_dd: Callable, cfg: DDConfig, mesh: Mesh,
                        jax.lax.psum(jnp.where(am, st.cores.lo, 0.0), BOND_AXIS))
             neval = jax.lax.psum(st.neval - init_neval, BOND_AXIS) + init_neval
             st = st._replace(cores=cores, neval=neval)
-            return st, it - 1, pmax, nev
+            return st, it - 1, pmax, nev, valh, vall
 
         mapped = jax.shard_map(
-            run_body, mesh=mesh, in_specs=(P(),),
-            out_specs=(P(), P(), P(), P()), check_vma=False,
+            run_body, mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()), check_vma=False,
         )
         return jax.jit(mapped)
 
@@ -277,10 +318,16 @@ def cross_dd_parallel(
     mesh: Mesh | None = None,
     mybonds=None,
     verbose: bool = False,
+    truth=None,
 ) -> DDCrossResult:
     """Distributed dd cross over a bond mesh (the `mpirun -np N` path of the
     reference's multiprecision engine, dmrggmp.f90).  Same contract as
-    cross_dd; requires len(mesh devices) <= d-1."""
+    cross_dd; requires len(mesh devices) <= d-1.
+
+    With verbose, each sweep prints the distributed dd quadrature value of
+    the CURRENT cross with err vs `truth` (string/float) or cnv vs the
+    previous sweep — the mp tier's in-loop value line (dmrggmp.f90:655-672)
+    computed by an ordered cross-device fold (dist_value)."""
     n = tuple(int(x) for x in n)
     d = len(n)
     if mesh is None:
@@ -289,16 +336,42 @@ def cross_dd_parallel(
                    small_element=small_element, small_pivot=small_pivot)
     kit, make_run_fn = get_parallel_dd_engine(fun_dd, cfg, mesh, mybonds)
 
+    wh_pad = np.zeros((d, cfg.N))
+    wl_pad = np.zeros((d, cfg.N))
+    for c in range(d):
+        wh_pad[c, : n[c]] = np.asarray(weights_hi[c])
+        wl_pad[c, : n[c]] = np.asarray(weights_lo[c])
+    wh_pad = jnp.asarray(wh_pad)
+    wl_pad = jnp.asarray(wl_pad)
+
     st = kit.init_fn(jax.random.PRNGKey(key) if isinstance(key, int) else key)
-    run_fn = make_run_fn(max_rank - 1, accuracy)
-    st, last_it, pmax, nev = run_fn(st)
+    run_fn = make_run_fn(max_rank - 1, accuracy, with_value=verbose)
+    st, last_it, pmax, nev, valh, vall = run_fn(st, wh_pad, wl_pad)
     last_it = int(last_it)
     if verbose:
+        from decimal import Decimal, localcontext
+
         pmax = np.asarray(pmax)
         nev = np.asarray(nev)
-        for it in range(1, last_it + 1):
-            print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd pivotmax "
-                  f"{pmax[it]:9.3e} n_evals {int(nev[it])}")
+        valh = np.asarray(valh)
+        vall = np.asarray(vall)
+        val_prev = None
+        with localcontext() as ctx:
+            ctx.prec = 50
+            for it in range(1, last_it + 1):
+                val = Decimal(float(valh[it])) + Decimal(float(vall[it]))
+                if truth is not None:
+                    rel = abs(1 - val / Decimal(truth if isinstance(truth, str)
+                                                else float(truth)))
+                    tag = f"err {float(rel):9.3e}"
+                elif val_prev not in (None, 0):
+                    tag = f"cnv {float(abs(1 - val / val_prev)):9.3e}"
+                else:
+                    tag = ""
+                val_prev = val
+                print(f"{it:3d}{'>>' if it % 2 == 1 else '<<'} dd "
+                      f"lg(pivotmax) {pmax[it]:8.2f} n_evals {int(nev[it])} "
+                      f"{tag} val {val:.32e}")
 
     solved = kit.finalize_fn(st)
     rk = np.asarray(st.rk)
