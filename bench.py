@@ -1,22 +1,234 @@
 #!/usr/bin/env python
-"""Benchmark driver: Ising C_6 north-star config (test_crs_ising.exe C 6 64 24 1).
+"""Benchmark driver: the five BASELINE.md configs + the C_6 north-star
+headline (test_crs_ising.exe C 6 64 24 1).
 
-Prints ONE JSON line:
+Prints one JSON line per config, and the HEADLINE line LAST (the round
+driver parses the tail):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-The reference publishes no throughput numbers (BASELINE.md: "published": {});
-vs_baseline is therefore measured against NOMINAL_REF_EVALS_PER_SEC, a stated
-nominal for the reference Fortran MPI+OpenMP build on a 64-core node
-(O(0.1-1 us) per integrand eval across 64 threads, derated for MPI sync).
+The reference publishes no throughput numbers (BASELINE.md: "published":
+{}); vs_baseline is therefore measured against NOMINAL_REF_EVALS_PER_SEC,
+a stated nominal for the reference Fortran MPI+OpenMP build on a 64-core
+node (O(0.1-1 us) per integrand eval across 64 threads, derated for MPI
+sync).
+
+Warmup protocol (tail-robust): time-to-first-result is measured in K
+FRESH subprocesses (default 3) run SEQUENTIALLY before this process
+touches the TPU (one-TPU-process rule), so a single degraded tunnel
+sample cannot define the artifact: warmup_time_s is the MEDIAN and the
+worst sample is reported separately as warmup_tail_s.  Set
+TTCROSS_BENCH_WARMUP_K=0 to skip probes (falls back to this process's
+own first-call time).
 """
 
 import json
+import os
+import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 NOMINAL_REF_EVALS_PER_SEC = 1.0e6
+PROBE_TIMEOUT_S = 1500
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def warmup_probe():
+    """Child mode: fresh-process time-to-first-result on the north star."""
+    t0 = time.time()
+    import ttcross_tpu  # noqa: F401
+    from ttcross_tpu.apps import make_ising
+    from ttcross_tpu.cross import cross
+
+    prob = make_ising("C", m=6, n=64)
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=24,
+                accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    _emit({"probe_warmup_s": round(time.time() - t0, 3),
+           "digits": round(float(-np.log10(res.errors[-1])), 2)})
+    return 0
+
+
+def run_warmup_probes():
+    """Sequential fresh-process probes, BEFORE the parent touches the TPU."""
+    k = int(os.environ.get("TTCROSS_BENCH_WARMUP_K", "3"))
+    times, failures = [], 0
+    for i in range(k):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--warmup-probe"],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S)
+            ok = proc.returncode == 0
+            samp = None
+            if ok:
+                for line in reversed(proc.stdout.splitlines()):
+                    try:
+                        samp = json.loads(line).get("probe_warmup_s")
+                        break
+                    except Exception:
+                        continue
+            if samp is None:
+                failures += 1
+                times.append(time.time() - t0)
+            else:
+                times.append(float(samp))
+        except subprocess.TimeoutExpired:
+            failures += 1
+            times.append(float(PROBE_TIMEOUT_S))
+        _emit({"metric": "warmup_probe", "sample": i, "seconds": round(times[-1], 2)})
+    if not times:
+        return None, None, failures
+    return (round(statistics.median(times), 2), round(max(times), 2), failures)
+
+
+def _timed(fn):
+    """(warm, timed) pair: first call pays compile, second is steady."""
+    t0 = time.time()
+    fn()
+    warm = time.time() - t0
+    t0 = time.time()
+    res = fn()
+    return res, time.time() - t0, warm
+
+
+def main():
+    # 1) fresh-process warmup probes FIRST (this process must not have
+    #    dispatched to the TPU yet — one TPU process at a time)
+    warm_med = warm_tail = None
+    probe_failures = 0
+    if int(os.environ.get("TTCROSS_BENCH_WARMUP_K", "3")) > 0:
+        warm_med, warm_tail, probe_failures = run_warmup_probes()
+
+    import ttcross_tpu  # noqa: F401  (x64)
+    import jax
+    import ttcross_tpu.tt as tt
+    from ttcross_tpu.apps import (make_cos_coefficients, make_ising,
+                                  make_mvn, make_mvn_density, make_stdnorm)
+    from ttcross_tpu.cross import cross
+    from ttcross_tpu.cross.accchk import accchk
+
+    device = str(jax.devices()[0])
+    acc = 500 * 2.2e-16
+
+    def line(metric, res, elapsed, extras=None):
+        digits = (-np.log10(res.errors[-1])) if res.errors else float("nan")
+        out = {
+            "metric": metric,
+            "evals_per_sec": round(res.neval / elapsed, 1),
+            "correct_digits": round(float(digits), 2),
+            "n_evals": int(res.neval),
+            "wall_time_s": round(elapsed, 3),
+            "sweeps": res.sweeps,
+            "max_rank": max(res.ranks),
+        }
+        if res.padded_evals:
+            out["padded_ratio"] = round(res.padded_evals / res.neval, 2)
+        out.update(extras or {})
+        _emit(out)
+        return out
+
+    # ---- config 1: stdnorm d=10 N=33 RANK=8 (test_crs_stdnorm.exe 10 32 8 1)
+    p1 = make_stdnorm(d=10, n=32)
+    q1 = dict(max_rank=8, accuracy=5 * 2.2e-16, pivoting=1,
+              quad=[p1.quad_weights] * p1.d, truth=p1.truth)
+    res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d, **q1))
+    line("stdnorm_d10", res, el)
+
+    # ---- config 2: MVN probability d=6 N=65 RANK=20 (test_crs_mvn.exe)
+    p2 = make_mvn(d=6, n=65)
+    q2 = dict(max_rank=20, accuracy=acc, pivoting=1,
+              quad=[p2.quad_weights] * p2.d, truth=p2.truth)
+    res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d, **q2))
+    line("mvn_d6", res, el)
+
+    # ---- config 3: COS coefficient tensor (test_crs_coscoeff.exe 6 65 20 1)
+    dens = make_mvn_density(6, corr=0.5)
+    cc = make_cos_coefficients(6, dens.mu, dens.cov, 0.52517, 8.52517)
+    res, el, _ = _timed(lambda: cross(cc.fun, [65] * 6, max_rank=20,
+                                      accuracy=acc, pivoting=1))
+    chk = accchk(res.tt, cc.fun, nlot=2**14)
+    line("coscoeff_d6", res, el,
+         {"accchk_einf": float(f"{chk['einf']:.3e}"),
+          "accchk_rel": float(f"{chk['einf'] / max(chk['ainf'], 1e-300):.3e}")})
+
+    # ---- config 5a: mvn_complex — complex contraction path
+    w_c = [p2.quad_weights.astype(np.complex128)] * p2.d
+    res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d, **q2))
+    val = complex(tt.contract(res.tt, w_c))
+    dig_c = -np.log10(abs(1 - val / p2.truth)) if val != 0 else float("nan")
+    line("mvn_complex_d6", res, el, {"complex_digits": round(float(dig_c), 2)})
+
+    # ---- config 5b: beyond-f64 tier — dd cross of Ising C_4
+    try:
+        from ttcross_tpu.apps.ising import make_ising_dd
+        from ttcross_tpu.apps.truths import ISING_C_STR
+        from ttcross_tpu.cross.engine_dd import cross_dd
+        from decimal import Decimal, localcontext
+
+        prob_dd, fun_dd, wh, wl = make_ising_dd(m=4, n=33)
+        t0 = time.time()
+        rdd = cross_dd(fun_dd, [prob_dd.n] * prob_dd.d, wh, wl,
+                       max_rank=16, pivoting=1)
+        el = time.time() - t0
+        with localcontext() as ctx:
+            ctx.prec = 60
+            got = Decimal(rdd.value[0]) + Decimal(rdd.value[1])
+            rel = abs(1 - got / Decimal(ISING_C_STR[4]))
+            dd_digits = float(-rel.log10()) if rel != 0 else 60.0
+        _emit({"metric": "ising_c4_dd_tier", "correct_digits": round(dd_digits, 2),
+               "n_evals": int(rdd.neval), "wall_time_s": round(el, 3),
+               "evals_per_sec": round(rdd.neval / el, 1)})
+    except Exception as e:  # the dd tier needs the native toolchain
+        _emit({"metric": "ising_c4_dd_tier", "skipped": repr(e)[:120]})
+
+    # ---- config 4: the north star, greedy (reference CLI C 6 64 24 1)
+    prob = make_ising("C", m=6, n=64)
+    args = dict(max_rank=24, accuracy=acc, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    res_g, el_g, warm_self = _timed(lambda: cross(prob.fun, [prob.n] * prob.d, **args))
+    dig_g = -np.log10(res_g.errors[-1])
+    line("ising_c6_greedy", res_g, el_g)
+
+    # ---- HEADLINE (LAST LINE): C_6 with the oversample=6 cross-and-round
+    # post-pass — recovers near-TT-SVD accuracy at rank 24 (~14.3 digits vs
+    # ~12.5 greedy) for ~1.5x the evaluations
+    res, el, _ = _timed(lambda: cross(prob.fun, [prob.n] * prob.d,
+                                      oversample=6, **args))
+    digits = -np.log10(res.errors[-1])
+    evals_per_sec = res.neval / el
+    t_hit = next((i for i, e in enumerate(res.errors) if e <= 1e-10), None)
+    out = {
+        "metric": "ising_c6_evals_per_sec",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/sec",
+        "vs_baseline": round(evals_per_sec / NOMINAL_REF_EVALS_PER_SEC, 3),
+        "device": device,
+        "correct_digits": round(float(digits), 2),
+        "greedy_digits": round(float(dig_g), 2),
+        "n_evals": int(res.neval),
+        "wall_time_s": round(el, 3),
+        "warmup_time_s": warm_med if warm_med is not None else round(warm_self, 3),
+        "warmup_tail_s": warm_tail,
+        "warmup_probe_failures": probe_failures,
+        "sweeps": res.sweeps,
+        "first_sweep_below_1e-10": t_hit,
+        "max_rank": max(res.ranks),
+        "oversample": 6,
+        # honesty metrics: n_evals counts ACTIVE entries (the reference's
+        # bookkeeping, dmrgg.f90:372,465,...); padded_evals COUNTS (in
+        # CrossState, not estimates) every integrand call incl. masked
+        # padding slots
+        "padded_evals": int(res.padded_evals),
+        "padded_ratio": round(res.padded_evals / res.neval, 2),
+    }
+    _emit(out)
+    return 0
 
 
 def main_parallel(ndevs):
@@ -25,8 +237,6 @@ def main_parallel(ndevs):
     hardware is not available in this image — virtual devices share the
     host's cores, so this measures collective/sharding overhead and
     correctness at scale, not true speedup).  Default ndevs: 1 2 4 8."""
-    import os
-
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
     import jax
@@ -67,55 +277,9 @@ def main_parallel(ndevs):
     return 0
 
 
-def main():
-    import ttcross_tpu  # noqa: F401  (x64)
-    import jax
-    from ttcross_tpu.apps import make_ising
-    from ttcross_tpu.cross import cross
-
-    prob = make_ising("C", m=6, n=64)  # driver adjusts to 65
-    args = dict(max_rank=24, accuracy=500 * 2.2e-16, pivoting=1,
-                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
-
-    # warm-up run: pays compilation
-    t0 = time.time()
-    res = cross(prob.fun, [prob.n] * prob.d, **args)
-    warm = time.time() - t0
-
-    # timed run with cached compilation
-    t0 = time.time()
-    res = cross(prob.fun, [prob.n] * prob.d, **args)
-    elapsed = time.time() - t0
-
-    digits = -np.log10(res.errors[-1]) if res.errors else float("nan")
-    evals_per_sec = res.neval / elapsed
-    # sweep index where rel err first dropped below 1e-10
-    t_hit = next((i for i, e in enumerate(res.errors) if e <= 1e-10), None)
-    out = {
-        "metric": "ising_c6_evals_per_sec",
-        "value": round(evals_per_sec, 1),
-        "unit": "evals/sec",
-        "vs_baseline": round(evals_per_sec / NOMINAL_REF_EVALS_PER_SEC, 3),
-        "device": str(jax.devices()[0]),
-        "correct_digits": round(float(digits), 2),
-        "n_evals": int(res.neval),
-        "wall_time_s": round(elapsed, 3),
-        "warmup_time_s": round(warm, 3),
-        "sweeps": res.sweeps,
-        "first_sweep_below_1e-10": t_hit,
-        "max_rank": max(res.ranks),
-        # honesty metrics: n_evals counts ACTIVE entries (the reference's
-        # bookkeeping, dmrgg.f90:372,465,...); padded_evals counts every
-        # integrand call including masked padding slots (see BENCH_NOTES
-        # "n_evals parity")
-        "padded_evals": int(res.padded_evals),
-        "padded_ratio": round(res.padded_evals / res.neval, 2),
-    }
-    print(json.dumps(out))
-    return 0
-
-
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--warmup-probe":
+        sys.exit(warmup_probe())
     if len(sys.argv) > 1 and sys.argv[1] == "--parallel":
         nd = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
         sys.exit(main_parallel(nd))

@@ -1,4 +1,6 @@
 from .engine import CrossResult, cross, make_engine
+from .maxvol import cross_maxvol, maxvol_refine
 from .state import CrossState, empty_state
 
-__all__ = ["CrossResult", "cross", "make_engine", "CrossState", "empty_state"]
+__all__ = ["CrossResult", "cross", "make_engine", "CrossState", "empty_state",
+           "cross_maxvol", "maxvol_refine"]

@@ -98,6 +98,17 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
     from jax import export
 
     try:
+        # the distributed run_fn carries CrossState through the exported
+        # signature; namedtuples must be registered for serialization
+        from .state import CrossState
+
+        export.register_namedtuple_serialization(
+            CrossState, serialized_name="ttcross_tpu.CrossState")
+    except ValueError:
+        pass   # already registered
+    except Exception:
+        pass
+    try:
         dev = jax.devices()[0]
         key = "|".join([
             _source_hash(), _fingerprint(fun, cfg), repr(cfg),

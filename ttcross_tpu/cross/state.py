@@ -38,6 +38,10 @@ class CrossState(NamedTuple):
     pivotmax_prev: jax.Array  # () previous sweep's pivotmax
     neval: jax.Array   # () int64 count of (active) integrand evaluations
     key: jax.Array     # PRNG key
+    padded: jax.Array  # () int64 ACTUAL integrand calls incl. masked padding
+                       # slots — counted at every call site, not estimated,
+                       # so it tracks the device work whatever the hunt
+                       # structure (the honesty metric next to neval)
 
 
 def pad_state(st: CrossState, R_new: int) -> CrossState:
@@ -93,4 +97,5 @@ def empty_state(d: int, N: int, R: int, key, dtype=jnp.float64) -> CrossState:
         pivotmax_prev=jnp.zeros((), dtype),
         neval=jnp.zeros((), jnp.int64),
         key=key,
+        padded=jnp.zeros((), jnp.int64),
     )

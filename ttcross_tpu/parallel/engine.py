@@ -52,6 +52,7 @@ __all__ = ["cross_parallel", "make_parallel_engine"]
 
 _PAR_CACHE: dict = {}
 _PAR_PINS: list = []
+_EXPORT_WRAP_PAR: dict = {}
 
 
 def _lu_at(st: CrossState, b) -> lulib.GrowingLU:
@@ -105,6 +106,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
     max_cores = int(np.max((own[1:] - own[:-1]) + (np.arange(ndev) == ndev - 1)))
     n_arr = jnp.asarray(cfg.n, jnp.int32)
     iR = jnp.arange(R)
+    init_padded = cfg.snum * int(min(cfg.n)) + d * N
 
     def my_bounds():
         me = jax.lax.axis_index(BOND_AXIS)
@@ -216,8 +218,8 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
             kk, qq = TI[bR, 3], TI[bR, 4]
             ltab = left_table(st.vip, bR, d)
             rtab = right_table(st.vip, bR, d)
-            fiber, amax, neval = kit.eval_col_fiber(st, bR, ltab, rtab, kk, qq)
-            st = st._replace(amax=amax, neval=neval)
+            fiber, amax, neval, padded = kit.eval_col_fiber(st, bR, ltab, rtab, kk, qq)
+            st = st._replace(amax=amax, neval=neval, padded=padded)
             slc = _at(st.itl, jnp.maximum(bR - 1, 0)) @ fiber
             s = (st.rk[bR + 1] - 1).astype(jnp.int32)
             rowf_b = jax.lax.dynamic_update_slice(_at(st.rowf, bR), slc[:, :, None], (z, z, s))
@@ -233,8 +235,8 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
             ii, jj = TI[bL, 1], TI[bL, 2]
             ltab = left_table(st.vip, bL, d)
             rtab = right_table(st.vip, bL, d)
-            fiber, amax, neval = kit.eval_row_fiber(st, bL, ltab, rtab, ii, jj)  # (N, R)
-            st = st._replace(amax=amax, neval=neval)
+            fiber, amax, neval, padded = kit.eval_row_fiber(st, bL, ltab, rtab, ii, jj)  # (N, R)
+            st = st._replace(amax=amax, neval=neval, padded=padded)
             c0 = (bL + 1).astype(jnp.int32)           # = own_lo
             s = (st.rk[c0] - 1).astype(jnp.int32)
             cores_c = jax.lax.dynamic_update_slice(_at(st.cores, c0), fiber[None], (s, z, z))
@@ -246,26 +248,39 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
 
         return jax.lax.cond(do_l, fix_left, lambda s: s, st)
 
-    def _gmax(x):
-        # max-reduce via all_gather: some TPU backends lower only SUM
-        # all-reduces, so lax.pmax is not portable there
-        return jnp.max(jax.lax.all_gather(x, BOND_AXIS))
-
-    def _gmin(x):
-        return jnp.min(jax.lax.all_gather(x, BOND_AXIS))
-
     def psweep(st: CrossState, it, own_lo, own_hi):
+        """One distributed sweep with the per-iteration traffic packed into
+        TWO collectives (the reference pays 2 sendrecv chains + 3 scalar
+        allreduces + a per-sweep MPI_SUM; an earlier rendering here paid 2
+        psums + 3 all_gathers + 1 psum): one psum of the concatenated
+        int+float tape rows (disjoint per bond, and int32 values are exact
+        in f64), and one all_gather of a 5-scalar vector carrying the
+        max/min/sum reductions together."""
+        dt = st.amax.dtype
         st, tape_i, tape_f = local_sweep(st, it, own_lo, own_hi)
-        TI = jax.lax.psum(tape_i, BOND_AXIS)   # per-bond rows are disjoint
-        TF = jax.lax.psum(tape_f, BOND_AXIS)
+        payload = jnp.concatenate([tape_f, tape_i.astype(dt)], axis=1)
+        TP = jax.lax.psum(payload, BOND_AXIS)       # (d-1, 2R+6)
+        TF = TP[:, : 2 * R + 1]
+        TI = jnp.round(TP[:, 2 * R + 1:]).astype(jnp.int32)
         st = replay(st, TI, TF, own_lo, own_hi)
         st = fixup(st, TI, own_lo, own_hi)
-        amax = _gmax(st.amax)
-        pivotmax = _gmax(st.pivotmax)
-        pmin_in = jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin)
-        pivotmin = jnp.where(jnp.isinf(_gmin(pmin_in)), -1.0, _gmin(pmin_in))
-        return st._replace(amax=amax, pivotmax=pivotmax, pivotmin=pivotmin,
-                           pivotmax_prev=pivotmax)
+        # scalar reductions in one gather: max(amax), max(pivotmax),
+        # min(pivotmin), sum(neval), sum(padded) — pmax/psum lower only as
+        # SUM all-reduces on some TPU backends, all_gather is portable
+        sc = jnp.stack([
+            st.amax, st.pivotmax,
+            jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin),
+            (st.neval - kit.init_neval).astype(dt),
+            (st.padded - init_padded).astype(dt),
+        ])
+        G = jax.lax.all_gather(sc, BOND_AXIS)       # (ndev, 5)
+        pmin = jnp.min(G[:, 2])
+        st = st._replace(amax=jnp.max(G[:, 0]), pivotmax=jnp.max(G[:, 1]),
+                         pivotmin=jnp.where(jnp.isinf(pmin), -1.0, pmin),
+                         pivotmax_prev=jnp.max(G[:, 1]))
+        nev_tot = jnp.sum(G[:, 3]).astype(jnp.int64) + kit.init_neval
+        padded_tot = jnp.sum(G[:, 4]).astype(jnp.int64) + init_padded
+        return st, nev_tot, padded_tot
 
     def pvalue(st: CrossState, w, own_lo, own_hi):
         """Distributed quadrature value: per-device chain product over its
@@ -337,12 +352,11 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
 
             def body(carry):
                 st, it, strike, vals, pmax, nev, done = carry
-                st = psweep(st, it, own_lo, own_hi)
+                st, nev_tot, padded_tot = psweep(st, it, own_lo, own_hi)
                 if with_quad:
                     vals = vals.at[it].set(pvalue(st, w, own_lo, own_hi))
                 pmax = pmax.at[it].set(st.pivotmax)
-                nev = nev.at[it].set(jax.lax.psum(st.neval - kit.init_neval, BOND_AXIS)
-                                     + kit.init_neval)
+                nev = nev.at[it].set(nev_tot)
                 ready = it + 1 >= max_sweeps + 1
                 if accuracy is not None:
                     quiet = st.pivotmax <= accuracy * st.amax
@@ -361,7 +375,9 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
             cores = jax.lax.psum(
                 jnp.where(authority[:, None, None, None], st.cores, 0.0), BOND_AXIS)
             neval = jax.lax.psum(st.neval - kit.init_neval, BOND_AXIS) + kit.init_neval
-            st = st._replace(cores=cores, neval=neval)
+            padded = (jax.lax.psum(st.padded - init_padded, BOND_AXIS)
+                      + init_padded)
+            st = st._replace(cores=cores, neval=neval, padded=padded)
             return st, it - 1, vals, pmax, nev
 
         state_spec = CrossState(*([P()] * len(CrossState._fields)))
@@ -428,6 +444,26 @@ def cross_parallel(
 
     max_sweeps = max_rank - 1
     run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
+    from ..cross import export_cache
+
+    if export_cache.enabled() and mesh.devices.size == 1:
+        # the distributed executable pays the same ~35-90 s axon lowering
+        # as the fused single-device run; cache its exported artifact too
+        # (keyed additionally by mesh size + slab layout via `kind`).
+        # Single-device meshes only: a multi-device export cannot be
+        # re-called through plain jit (device-count mismatch), and the
+        # slow axon lowering this skips is a single-chip-tunnel cost —
+        # multi-device runs are the virtual CPU mesh, whose lowering is
+        # ~1 s
+        ck = (id(run_fn), "par")
+        cached = _EXPORT_WRAP_PAR.get(ck)
+        if cached is None:
+            kind = f"parallel:{mesh.devices.size}:{'' if mybonds is None else list(mybonds)}"
+            cached = export_cache.cached_full_fn(
+                run_fn, fun, cfg, max_sweeps, with_quad, accuracy, (st, w),
+                kind=kind)
+            _EXPORT_WRAP_PAR[ck] = cached
+        run_fn = cached
     st, last_it, vals, pmax, nev = run_fn(st, w)
     last_it = int(last_it)
     vals = np.asarray(vals)
@@ -463,4 +499,5 @@ def cross_parallel(
         time=time.perf_counter() - t0,
         converged=accuracy is not None and last_it < max_sweeps,
         history=history,
+        padded_evals=int(st.padded),
     )

@@ -173,4 +173,12 @@ def load_state(path: str):
     from ..cross.state import CrossState
 
     data = np.load(path)
-    return CrossState(**{k: jnp.asarray(data[k]) for k in CrossState._fields})
+    vals = {}
+    for k in CrossState._fields:
+        if k in data.files:
+            vals[k] = jnp.asarray(data[k])
+        elif k == "padded":   # checkpoints predating the padded counter
+            vals[k] = jnp.zeros((), jnp.int64)
+        else:
+            raise KeyError(f"checkpoint missing CrossState field {k!r}")
+    return CrossState(**vals)
