@@ -111,6 +111,11 @@ class MpEngine:
         self.snum = snum
         self.rng = np.random.default_rng(seed)
         self.neval = 0
+        # distributed mode: the set of locally-owned (authoritative) cores;
+        # None = single process, every core is local.  A slab's LAST bond
+        # has its right core owned by the next worker, which stores the
+        # accepted row fiber from the tape instead (dmrggmp.f90:518-629).
+        self.own_cores = None
 
     # ------------------------------------------------ initial pivot search
     def init_state(self):
@@ -276,9 +281,11 @@ class MpEngine:
         (dmrggmp.f90 mirror of dmrgg.f90:602-757), except the cross-slab
         neighbour slices (apply_left_slice / apply_right_slice)."""
         self.vip[b].append((int(ii), int(jj), int(kk), int(qq)))
-        self.G[b] = np.concatenate([self.G[b], acol[:, :, None]], axis=2)
-        self.G[b + 1] = np.concatenate([self.G[b + 1], arow[None, :, :]],
-                                       axis=0)
+        if self.own_cores is None or b in self.own_cores:
+            self.G[b] = np.concatenate([self.G[b], acol[:, :, None]], axis=2)
+        if self.own_cores is None or (b + 1) in self.own_cores:
+            self.G[b + 1] = np.concatenate([self.G[b + 1], arow[None, :, :]],
+                                           axis=0)
         new_colf = (acol - np.tensordot(self.Cf[b], u_new, axes=[[2], [0]])) / pivot
         self.Cf[b] = np.concatenate([self.Cf[b], new_colf[:, :, None]], axis=2)
         new_rowf = arow - np.tensordot(c_new, self.Rf[b], axes=[[0], [0]])

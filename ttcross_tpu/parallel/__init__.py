@@ -1,5 +1,7 @@
 from .engine import cross_parallel, make_parallel_engine
 from .engine_dd import cross_dd_parallel
+from .engine_mp import cross_mp_parallel
 from .mesh import BOND_AXIS, bond_mesh, share
 
-__all__ = ["cross_parallel", "make_parallel_engine", "cross_dd_parallel", "BOND_AXIS", "bond_mesh", "share"]
+__all__ = ["cross_parallel", "make_parallel_engine", "cross_dd_parallel",
+           "cross_mp_parallel", "BOND_AXIS", "bond_mesh", "share"]
