@@ -219,3 +219,44 @@ def test_ising_de_cross(kind, digits_min):
                 accuracy=500 * 2.2e-16, pivoting=1,
                 quad=[prob.quad_weights] * prob.d, truth=prob.truth)
     assert -np.log10(res.errors[-1]) >= digits_min
+
+
+@pytest.mark.parametrize("pivoting", [1, 0])
+def test_jacobi_exact_rank_recovery(rng, pivoting):
+    """sweep_mode='jacobi': all-bonds-batched sweeps recover exact-rank
+    tensors like the sequential engine (the staleness license of the
+    reference's own parallel decomposition, dmrgg.f90:822-850)."""
+    _, dense, fun = make_low_rank(rng, 4, 7, (1, 2, 3, 2, 1))
+    res = cross(fun, [7] * 4, max_rank=5, pivoting=pivoting, accuracy=1e-12,
+                sweep_mode="jacobi")
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-10 * np.abs(dense).max()
+
+
+def test_jacobi_ising_envelope():
+    """C_4: jacobi sweeps land in the sequential accuracy envelope at the
+    same rank budget (corner-fiber repairs keep factors exact)."""
+    prob = make_ising("C", m=4, n=65)
+    args = dict(max_rank=16, accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    seq = cross(prob.fun, [prob.n] * prob.d, **args)
+    jac = cross(prob.fun, [prob.n] * prob.d, sweep_mode="jacobi", **args)
+    ds = -np.log10(seq.errors[-1])
+    dj = -np.log10(jac.errors[-1])
+    assert dj >= 8.0, (ds, dj)
+    assert abs(dj - ds) < 3.5, (ds, dj)   # same envelope, stochastic pivots
+
+
+def test_jacobi_counts_padded_evals():
+    prob = make_ising("C", m=4, n=33)
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=8, pivoting=1,
+                sweep_mode="jacobi",
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    assert res.padded_evals > res.neval > 0
+
+
+def test_jacobi_rejects_full_pivoting():
+    prob = make_ising("C", m=4, n=17)
+    with pytest.raises(NotImplementedError, match="jacobi"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=4, pivoting=-1,
+              sweep_mode="jacobi")
