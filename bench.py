@@ -195,6 +195,16 @@ def main():
     dig_g = -np.log10(res_g.errors[-1])
     line("ising_c6_greedy", res_g, el_g)
 
+    # ---- n_evals parity line: chunked growth + per-bond rank caps from
+    # the greedy run's profile -> padded_ratio ~ 1.15 (counted, not
+    # estimated; the reference's exact dynamic shapes are ratio 1.0)
+    if os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false"):
+        caps = list(res_g.ranks[1:-1])
+        res, el, _ = _timed(lambda: cross(
+            prob.fun, [prob.n] * prob.d, rank_chunks=[4, 8, 12, 16, 20, 24],
+            rank_caps=caps, **args))
+        line("ising_c6_chunked_capped", res, el, {"rank_caps": caps})
+
     # ---- HEADLINE (LAST LINE): C_6 with the oversample=6 cross-and-round
     # post-pass — recovers near-TT-SVD accuracy at rank 24 (~14.3 digits vs
     # ~12.5 greedy) for ~1.5x the evaluations

@@ -260,3 +260,38 @@ def test_jacobi_rejects_full_pivoting():
     with pytest.raises(NotImplementedError, match="jacobi"):
         cross(prob.fun, [prob.n] * prob.d, max_rank=4, pivoting=-1,
               sweep_mode="jacobi")
+
+
+@pytest.mark.slow
+def test_rank_caps_padded_ratio():
+    """Per-bond rank caps + chunked growth close the padded-work gap:
+    counted padded_ratio <= 1.25 on the C_6 bench config (VERDICT #4;
+    the reference's dynamic shapes are ratio 1.0)."""
+    prob = make_ising("C", m=6, n=64)
+    args = dict(max_rank=24, accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    res = cross(prob.fun, [prob.n] * prob.d,
+                rank_chunks=[4, 8, 12, 16, 20, 24],
+                rank_caps=[16, 24, 24, 16], **args)
+    ratio = res.padded_evals / res.neval
+    assert ratio <= 1.25, ratio
+    assert -np.log10(res.errors[-1]) >= 11.0
+
+
+def test_rank_caps_small_recovery(rng):
+    """Capped visits recover an exact-rank tensor (capped batches embed
+    into the full-R machinery losslessly)."""
+    _, dense, fun = make_low_rank(rng, 4, 7, (1, 2, 3, 2, 1))
+    res = cross(fun, [7] * 4, max_rank=5, pivoting=1, accuracy=1e-12,
+                rank_caps=[3, 4, 3])
+    approx = np.asarray(tt.full(res.tt))
+    assert np.abs(approx - dense).max() < 1e-10 * np.abs(dense).max()
+
+
+def test_rank_caps_validation():
+    prob = make_ising("C", m=4, n=17)
+    with pytest.raises(ValueError, match="rank_caps"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=4, rank_caps=[2])
+    with pytest.raises(ValueError, match="jacobi"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=4, rank_caps=[2, 2],
+              sweep_mode="jacobi")

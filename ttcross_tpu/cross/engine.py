@@ -53,6 +53,11 @@ class CrossConfig:
     wlot: bool = False   # weight the lottery by the quadrature weights
                          # (lottery2's arbitrary-weights path, rnd.f90:105-126)
     jacobi: bool = False  # all-bonds-batched Jacobi sweeps (sweep_mode="jacobi")
+    caps: tuple | None = None  # per-bond rank caps (cross(rank_caps=...)):
+                         # integrand batches shrink to the capped per-bond
+                         # fiber sizes, closing the padded-work gap that a
+                         # single global padded rank leaves on rank-
+                         # heterogeneous trains
 
 
 class EngineKit(NamedTuple):
@@ -686,6 +691,192 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         st, _ = jax.lax.fori_loop(0, d - 1, body, (st, tab0))
         return st._replace(pivotmax_prev=st.pivotmax)
 
+    # -------------------------------------------------- capped bond visit
+    def _visit_bond_capped(st: CrossState, p: int, u2):
+        """Bond visit with PER-BOND capped integrand batches (cfg.caps):
+        only the fun-call shapes shrink — fibers are evaluated at
+        (Rl, N)/(N, Rr) with Rl/Rr = min(R, cap of the adjacent bond) and
+        zero-embedded into the full-R buffers, so the LU/factor machinery
+        is untouched.  p is STATIC (the capped sweep unrolls bonds), and
+        rook passes run col,row,col,... regardless of sweep direction
+        (the skipcol alternation, dmrgg.f90:517, needs equal-shape
+        batches to stay branch-free; the capped mode trades it for the
+        smaller per-side batches — a stochastic pivot-order difference
+        within the usual envelope)."""
+        caps = cfg.caps
+        Rl = 1 if p == 0 else min(R, int(caps[p - 1]))
+        Rb = min(R, int(caps[p]))
+        Rr = 1 if p == d - 2 else min(R, int(caps[p + 1]))
+        NLOTp = Rl + N + N + Rr
+        iRl = jnp.arange(Rl)
+        iRr = jnp.arange(Rr)
+        ltab = left_table(st.vip, p, d)
+        rtab = right_table(st.vip, p, d)
+        dt = st.cores.dtype
+
+        # ---- lottery over the capped candidate spaces
+        colmask = ((iRl[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])).reshape(-1)
+        rowmask = ((iRr[:, None] < st.rk[p + 2]) & (iN[None, :] < n_arr[p + 1])).reshape(-1)
+        vb = _at(st.vip, p)
+        smask = iR < st.rk[p + 1]
+        used_col = jnp.zeros((Rl * N,), bool).at[
+            jnp.minimum(vb[:, 0], Rl - 1) * N + vb[:, 1]].max(smask)
+        used_row = jnp.zeros((Rr * N,), bool).at[
+            jnp.minimum(vb[:, 3], Rr - 1) * N + vb[:, 2]].max(smask)
+        wcol = (colmask & ~used_col).astype(jnp.float64)
+        wrow = (rowmask & ~used_row).astype(jnp.float64)
+        cdf_c = jnp.cumsum(wcol)
+        cdf_r = jnp.cumsum(wrow)
+        below = 1.0 - 2.0 ** -50
+        u2c = u2[0, :NLOTp]
+        u2r = u2[1, :NLOTp]
+        t_c = jnp.minimum(u2c * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0),
+                          cdf_c[-1] * below)
+        t_r = jnp.minimum(u2r * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
+                          cdf_r[-1] * below)
+        lin_c = jnp.minimum(jnp.searchsorted(cdf_c, t_c, side="right"),
+                            Rl * N - 1).astype(jnp.int_)
+        lin_r = jnp.minimum(jnp.searchsorted(cdf_r, t_r, side="right"),
+                            Rr * N - 1).astype(jnp.int_)
+        i_c, j_c = _decode_div(lin_c, N)
+        q_c, k_c = _decode_div(lin_r, N)
+        nlot_act = st.rk[p] + n_arr[p] + n_arr[p + 1] + st.rk[p + 2]
+        candmask = jnp.arange(NLOTp) < nlot_act
+        ind = assemble_indices(ltab, rtab, p, i_c, j_c, k_c, q_c, d)
+        b = fun(ind)
+        amax = jnp.maximum(st.amax,
+                           jnp.max(jnp.where(candmask, jnp.abs(b), 0.0)))
+        neval = st.neval + nlot_act.astype(jnp.int64)
+        padded = st.padded + NLOTp
+        from ..ops.dense import row_lookup
+
+        rmask = (iR < st.rk[p + 1]).astype(dt)
+        cf = row_lookup(_at(st.colf, p)[:Rl].reshape(Rl * N, R), lin_c)
+        rf = row_lookup(_at(st.rowf, p + 1)[:, :, :Rr].reshape(R, N * Rr),
+                        k_c * Rr + q_c, axis=1)
+        resid = b - jnp.sum(cf * rf * rmask[None, :], axis=1)
+        best = jnp.argmax(jnp.where(candmask, jnp.abs(resid), -1.0))
+        ii, jj = i_c[best], j_c[best]
+        kk, qq = k_c[best], q_c[best]
+        pivot = resid[best]
+        st = st._replace(amax=amax, neval=neval, padded=padded)
+
+        # ---- rook passes: capped fiber batches, static col/row order
+        acol_c = jnp.zeros((Rl, N), dt)
+        arow_c = jnp.zeros((N, Rr), dt)
+        c = dict(ii=ii, jj=jj, kk=kk, qq=qq, pivot=pivot,
+                 acol=acol_c, arow=arow_c,
+                 havecol=jnp.asarray(False), haverow=jnp.asarray(False),
+                 crs=jnp.asarray(0, jnp.int32), done=jnp.asarray(cfg.piv == 0),
+                 amax=amax, neval=neval)
+        cmask2 = (iRl[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
+        rmask2 = (iN[:, None] < n_arr[p + 1]) & (iRr[None, :] < st.rk[p + 2])
+
+        def col_pass(c, force=False):
+            live = force | ~c["done"]
+            ig = jnp.repeat(iRl, N)
+            jg = jnp.tile(iN, Rl)
+            ind = assemble_indices(ltab, rtab, p, ig, jg,
+                                   jnp.full_like(ig, c["kk"]),
+                                   jnp.full_like(ig, c["qq"]), d)
+            vals = jnp.where(cmask2, fun(ind).reshape(Rl, N), 0.0)
+            amax = jnp.maximum(c["amax"], jnp.max(jnp.abs(vals)))
+            nev = c["neval"] + jnp.where(live, st.rk[p] * n_arr[p], 0).astype(jnp.int64)
+            u = _at(st.rowf, p + 1)[:, c["kk"], c["qq"]] * rmask
+            bcol = vals - jnp.tensordot(_at(st.colf, p)[:Rl], u, axes=[[2], [0]])
+            sc = jnp.where(cmask2, jnp.abs(bcol), -1.0)
+            i2 = jnp.argmax(jnp.max(sc, axis=1))
+            j2 = jnp.argmax(sc[i2])
+            crs = c["crs"] + 1
+            havecol = c["havecol"] | True
+            budget = havecol & c["haverow"] & (crs >= 2 * cfg.piv)
+            stat = havecol & c["haverow"] & (i2 == c["ii"]) & (j2 == c["jj"])
+            upd = ~budget & (cfg.piv > 0)   # piv=0 evaluates, never moves
+            new = dict(ii=jnp.where(upd, i2, c["ii"]),
+                       jj=jnp.where(upd, j2, c["jj"]),
+                       kk=c["kk"], qq=c["qq"],
+                       pivot=jnp.where(upd, bcol[i2, j2], c["pivot"]),
+                       acol=vals, arow=c["arow"],
+                       havecol=havecol, haverow=c["haverow"], crs=crs,
+                       done=budget | (upd & stat), amax=amax, neval=nev)
+            return jax.tree_util.tree_map(
+                lambda a, b2: jnp.where(live, a, b2), new, c)
+
+        def row_pass(c, force=False):
+            live = force | ~c["done"]
+            kg = jnp.repeat(iN, Rr)
+            qg = jnp.tile(iRr, N)
+            ind = assemble_indices(ltab, rtab, p, jnp.full_like(kg, c["ii"]),
+                                   jnp.full_like(kg, c["jj"]), kg, qg, d)
+            vals = jnp.where(rmask2, fun(ind).reshape(N, Rr), 0.0)
+            amax = jnp.maximum(c["amax"], jnp.max(jnp.abs(vals)))
+            nev = c["neval"] + jnp.where(live, n_arr[p + 1] * st.rk[p + 2], 0).astype(jnp.int64)
+            cw = _at(st.colf, p)[c["ii"], c["jj"], :] * rmask
+            brow = vals - jnp.tensordot(cw, _at(st.rowf, p + 1)[:, :, :Rr],
+                                        axes=[[0], [0]])
+            sr = jnp.where(rmask2, jnp.abs(brow), -1.0)
+            k2 = jnp.argmax(jnp.max(sr, axis=1))
+            q2 = jnp.argmax(sr[k2])
+            crs = c["crs"] + 1
+            haverow = c["haverow"] | True
+            budget = c["havecol"] & haverow & (crs >= 2 * cfg.piv)
+            stat = c["havecol"] & haverow & (k2 == c["kk"]) & (q2 == c["qq"])
+            upd = ~budget & (cfg.piv > 0)   # piv=0 evaluates, never moves
+            new = dict(ii=c["ii"], jj=c["jj"],
+                       kk=jnp.where(upd, k2, c["kk"]),
+                       qq=jnp.where(upd, q2, c["qq"]),
+                       pivot=jnp.where(upd, brow[k2, q2], c["pivot"]),
+                       acol=c["acol"], arow=vals,
+                       havecol=c["havecol"], haverow=haverow, crs=crs,
+                       done=budget | (upd & stat), amax=amax, neval=nev)
+            return jax.tree_util.tree_map(
+                lambda a, b2: jnp.where(live, a, b2), new, c)
+
+        n_pairs = max(cfg.piv, 1)
+        for t in range(n_pairs):
+            # piv == 0: one forced col + row evaluation of the seed fibers
+            c = col_pass(c, force=cfg.piv == 0)
+            c = row_pass(c, force=cfg.piv == 0)
+        padded = st.padded + n_pairs * (Rl * N + N * Rr)
+        st = st._replace(amax=c["amax"], neval=c["neval"], padded=padded)
+        ii, jj, kk, qq = c["ii"], c["jj"], c["kk"], c["qq"]
+        pivot = c["pivot"]
+        # embed the capped fibers into the full-R buffers
+        acol = jnp.zeros((R, N), dt).at[:Rl].set(c["acol"])
+        arow = jnp.zeros((N, R), dt).at[:, :Rr].set(c["arow"])
+
+        upd = ((jnp.abs(pivot) > cfg.small_element * st.amax)
+               & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
+               & (st.rk[p + 1] < Rb))
+        st = _accept(st, p, (ii, jj, kk, qq), pivot, acol, arow, 0, d - 1, upd)
+        return st
+
+    def make_sweep_capped(fwd: bool):
+        """One capped sweep in a STATIC direction (bond order unrolled —
+        per-bond batch shapes must be trace-time constants)."""
+
+        def sweep(st: CrossState) -> CrossState:
+            key, sub = jax.random.split(st.key)
+            U = jax.random.uniform(sub, (d - 1, 2, NLOT), jnp.float64)
+            st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
+                             pivotmin=jnp.full((), -1.0, st.amax.dtype),
+                             key=key)
+            order = range(d - 1) if fwd else range(d - 2, -1, -1)
+            for p in order:
+                st = _visit_bond_capped(st, p, U[p])
+            return st._replace(pivotmax_prev=st.pivotmax)
+
+        return sweep
+
+    def sweep_capped_inner(st: CrossState, it, lw=None) -> CrossState:
+        """Capped sweep with the usual direction alternation: ONE cond per
+        sweep selecting the forward or backward unrolled body (a per-sweep
+        state copy is negligible; the per-visit conds the engine avoids
+        elsewhere were the costly pattern)."""
+        dir_fwd = (it % 2) == 1
+        return jax.lax.cond(dir_fwd, make_sweep_capped(True),
+                            make_sweep_capped(False), st)
+
     # ------------------------------------------------------- Jacobi sweep
     def sweep_jacobi_inner(st: CrossState, it, lw=None) -> CrossState:
         """All-bonds-batched sweep: every bond hunts CONCURRENTLY against
@@ -1002,7 +1193,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                          pivotmax_prev=pivotmax)
         return st
 
-    sweep_impl = sweep_jacobi_inner if cfg.jacobi else sweep_fn_inner
+    if cfg.caps is not None:
+        sweep_impl = sweep_capped_inner
+    elif cfg.jacobi:
+        sweep_impl = sweep_jacobi_inner
+    else:
+        sweep_impl = sweep_fn_inner
     sweep_fn = jax.jit(sweep_impl)
 
     def value_mat(st: CrossState, w, c) -> jax.Array:
@@ -1196,6 +1392,7 @@ def cross(
     oversample: int = 0,
     refine_sweeps: int = 0,
     sweep_mode: str = "sequential",
+    rank_caps: Sequence[int] | None = None,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -1232,6 +1429,12 @@ def cross(
     long chains; other bonds' pivots land one sweep late, the staleness
     license the reference's MPI decomposition already grants,
     dmrgg.f90:822-850).
+    rank_caps: per-bond rank caps (d-1,) — e.g. the rank profile of a
+    previous run.  Integrand batches shrink to the capped per-bond fiber
+    sizes (sweeps unroll statically over bonds), closing the padded-work
+    gap left by a single global padded rank on rank-heterogeneous trains;
+    combine with rank_chunks for padded_ratio ~ 1.1 on the C_6 bench.
+    Small-d configs only (unrolled compile); not with sweep_mode="jacobi".
     """
     n = tuple(int(x) for x in n)
     d = len(n)
@@ -1277,10 +1480,20 @@ def cross(
         return_state = True   # the refinement seeds from the pivot sets
     if sweep_mode not in ("sequential", "jacobi"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
+    caps = None
+    if rank_caps is not None:
+        caps = tuple(int(x) for x in rank_caps)
+        if len(caps) != d - 1 or min(caps) < 1:
+            raise ValueError(f"rank_caps must be d-1 = {d - 1} positive "
+                             f"per-bond caps; got {caps}")
+        if sweep_mode == "jacobi":
+            raise ValueError("rank_caps is not supported with jacobi sweeps")
+        if int(pivoting) < 0:
+            raise ValueError("rank_caps requires pivoting >= 0")
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp, use_pallas=use_pallas,
                       wlot=bool(weighted_lottery),
-                      jacobi=sweep_mode == "jacobi")
+                      jacobi=sweep_mode == "jacobi", caps=caps)
     kit = get_engine(fun, cfg)
     init_fn, value_fn, make_run_fn = kit.init_fn, kit.value_fn, kit.make_run_fn
 
