@@ -195,11 +195,13 @@ def main():
     dig_g = -np.log10(res_g.errors[-1])
     line("ising_c6_greedy", res_g, el_g)
 
-    # ---- n_evals parity line: chunked growth + per-bond rank caps from
-    # the greedy run's profile -> padded_ratio ~ 1.15 (counted, not
-    # estimated; the reference's exact dynamic shapes are ratio 1.0)
+    # ---- n_evals parity line: chunked growth + per-bond rank caps (the
+    # C_6 rank profile, a FIXED constant so the export-cache key is
+    # stable across bench runs) -> counted padded_ratio ~ 1.15 (the
+    # reference's exact dynamic shapes are ratio 1.0).  Compile-heavy on
+    # a cold cache (6 unrolled executables); skippable via env.
     if os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false"):
-        caps = list(res_g.ranks[1:-1])
+        caps = [16, 24, 24, 16]
         res, el, _ = _timed(lambda: cross(
             prob.fun, [prob.n] * prob.d, rank_chunks=[4, 8, 12, 16, 20, 24],
             rank_caps=caps, **args))

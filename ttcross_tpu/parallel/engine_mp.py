@@ -31,7 +31,6 @@ mpmath/numpy, never JAX, so the parent's device runtime is untouched.
 from __future__ import annotations
 
 import multiprocessing as _mp
-import os
 from typing import Callable, Sequence
 
 import numpy as np
