@@ -117,11 +117,12 @@ def main():
     acc = 500 * 2.2e-16
 
     def line(metric, res, elapsed, extras=None):
-        digits = (-np.log10(res.errors[-1])) if res.errors else float("nan")
+        digits = (-np.log10(res.errors[-1])) if res.errors else None
         out = {
             "metric": metric,
             "evals_per_sec": round(res.neval / elapsed, 1),
-            "correct_digits": round(float(digits), 2),
+            "correct_digits": (round(float(digits), 2)
+                               if digits is not None else None),
             "n_evals": int(res.neval),
             "wall_time_s": round(elapsed, 3),
             "sweeps": res.sweeps,
