@@ -202,3 +202,27 @@ def test_parallel_oversample(rng):
     assert max(res.ranks) <= 3
     approx = np.asarray(tt.full(res.tt))
     assert np.abs(approx - dense).max() < 1e-10
+
+
+def test_accchk_on_mesh(rng):
+    """Mesh-sharded accchk matches the single-device statistics (the
+    reference shards the accchk lottery over MPI ranks the same way,
+    dmrgg.f90:1092-1096)."""
+    from ttcross_tpu.cross.accchk import accchk
+
+    d, n = 4, 6
+    ranks = (1, 2, 2, 2, 1)
+    cores = [rng.standard_normal((ranks[i], n, ranks[i + 1])) for i in range(d)]
+    T = tt.from_cores(cores)
+
+    def fun(ind):
+        return tt.gather(T, ind) + 1e-9 * jax.numpy.sin(ind.sum(axis=1).astype(float))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("bond",))
+    ref = accchk(T, fun, nlot=4096, key=7)
+    par = accchk(T, fun, nlot=4096, key=7, mesh=mesh)
+    assert par["einf"] == ref["einf"]
+    assert par["ainf"] == ref["ainf"]
+    assert par["worst_index"] == ref["worst_index"]
+    assert abs(par["efro"] - ref["efro"]) <= 1e-12 * max(1.0, ref["efro"])
+    assert abs(par["afro"] - ref["afro"]) <= 1e-12 * max(1.0, ref["afro"])

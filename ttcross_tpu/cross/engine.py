@@ -76,6 +76,8 @@ class EngineKit(NamedTuple):
     init_neval: int
     finalize_fn: Callable = None
     make_full_fn: Callable = None
+    jacobi_hunt: Callable = None
+    jacobi_apply: Callable = None
 
 
 @dataclass
@@ -341,10 +343,15 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                           cdf_c[-1] * below)
         t_r = jnp.minimum(u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
                           cdf_r[-1] * below)
-        lin_c = jnp.minimum(jnp.searchsorted(cdf_c, t_c, side="right"),
-                            R * N - 1).astype(jnp.int_)
-        lin_r = jnp.minimum(jnp.searchsorted(cdf_r, t_r, side="right"),
-                            N * R - 1).astype(jnp.int_)
+        # method="compare_all": one broadcast compare + row-sum instead of
+        # the default 'scan' binary search (log2(R*N) SERIAL gather rounds
+        # per query batch — gathers are the TPU slow path)
+        lin_c = jnp.minimum(
+            jnp.searchsorted(cdf_c, t_c, side="right", method="compare_all"),
+            R * N - 1).astype(jnp.int_)
+        lin_r = jnp.minimum(
+            jnp.searchsorted(cdf_r, t_r, side="right", method="compare_all"),
+            N * R - 1).astype(jnp.int_)
         i_c, j_c = _decode_div(lin_c, N)
         q_c, k_c = _decode_div(lin_r, N)
 
@@ -370,7 +377,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         st = st._replace(amax=amax, neval=neval, padded=st.padded + NLOT)
         return st, (i_c[best], j_c[best], k_c[best], q_c[best]), resid[best]
 
-    def _rook(st: CrossState, p, ltab, rtab, seed, pivot0, dir_fwd):
+    def _rook(st: CrossState, p, ltab, rtab, seed, pivot0, fwd: bool):
         """Rook pivoting (dmrgg.f90:515-582): alternate column/row
         maximization until stationary or crs >= 2 piv.
 
@@ -378,16 +385,15 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         straight-line masked passes: for a fixed budget the dynamic loop
         executes exactly 2*piv passes unless it goes stationary early, and
         on TPU the while_loop + nested-cond version pays per-iteration sync
-        overhead that dwarfs the (tiny) pass math.  Each pass is a UNIFIED
-        col-or-row step selected by a traced boolean: both candidate index
-        batches are assembled (cheap integer ops) and `where`-selected into
-        ONE padded integrand call, so '>>' sweeps run col,row,col,... and
-        '<<' sweeps row,col,row,... (skipcol, dmrgg.f90:517) without a
-        direction cond (whose branches would capture the multi-MB factors
-        by value) and without any always-dead surplus pass.  A pass whose
-        `done` flag is set contributes nothing: state and n_evals are
-        frozen by masking, so results and evaluation counts match the
-        dynamic loop."""
+        overhead that dwarfs the (tiny) pass math.  The sweep direction is
+        a TRACE-TIME constant (the sweep dispatch conds once per sweep on
+        the parity), so '>>' sweeps run col,row,col,... and '<<' sweeps
+        row,col,row,... (skipcol, dmrgg.f90:517) with each pass assembling
+        and scoring ONLY its own side — an earlier rendering carried a
+        traced direction and paid both sides' index assembly, residual and
+        argmax in every pass.  A pass whose `done` flag is set contributes
+        nothing: state and n_evals are frozen by masking, so results and
+        evaluation counts match the dynamic loop."""
         ii0, jj0, kk0, qq0 = seed
         dt = st.cores.dtype
         false = jnp.asarray(False)
@@ -407,55 +413,57 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         # fixed (ii, jj)
         ci_g, cj_g = jnp.repeat(iR, N), jnp.tile(iN, R)
         rk_g, rq_g = jnp.repeat(iN, R), jnp.tile(iR, N)
+        cmask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
+        rmask2 = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
 
-        def unified_pass(c, is_col):
+        def unified_pass(c, is_col: bool):
             live = ~c["done"]
-            ind_col = assemble_indices(ltab, rtab, p, ci_g, cj_g,
+            crs = c["crs"] + 1
+            if is_col:
+                ind = assemble_indices(ltab, rtab, p, ci_g, cj_g,
                                        jnp.full_like(ci_g, c["kk"]),
                                        jnp.full_like(ci_g, c["qq"]), d)
-            ind_row = assemble_indices(ltab, rtab, p,
+                acol = jnp.where(cmask, fun(ind).reshape(R, N), 0.0)
+                amax = jnp.maximum(c["amax"], jnp.max(jnp.abs(acol)))
+                dnev = (st.rk[p] * n_arr[p]).astype(jnp.int64)
+                bcol = _col_residual(st, p, acol, c["kk"], c["qq"])
+                i2, j2 = _masked_argmax2(bcol, cmask)
+                havecol, haverow = jnp.asarray(True), c["haverow"]
+                budget = haverow & (crs >= 2 * cfg.piv)
+                stat = haverow & (i2 == c["ii"]) & (j2 == c["jj"])
+                upd = ~budget
+                new = dict(ii=jnp.where(upd, i2, c["ii"]),
+                           jj=jnp.where(upd, j2, c["jj"]),
+                           kk=c["kk"], qq=c["qq"],
+                           pivot=jnp.where(upd, bcol[i2, j2], c["pivot"]),
+                           acol=acol, arow=c["arow"])
+            else:
+                ind = assemble_indices(ltab, rtab, p,
                                        jnp.full_like(rk_g, c["ii"]),
                                        jnp.full_like(rk_g, c["jj"]),
                                        rk_g, rq_g, d)
-            vals = fun(jnp.where(is_col, ind_col, ind_row))     # (R*N,)
-            cmask = (iR[:, None] < st.rk[p]) & (iN[None, :] < n_arr[p])
-            rmask2 = (iN[:, None] < n_arr[p + 1]) & (iR[None, :] < st.rk[p + 2])
-            acol = jnp.where(cmask, vals.reshape(R, N), 0.0)
-            arow = jnp.where(rmask2, vals.reshape(N, R), 0.0)
-            amax = jnp.maximum(c["amax"], jnp.max(jnp.abs(
-                jnp.where(is_col, acol.reshape(-1), arow.reshape(-1)))))
-            dnev = jnp.where(is_col, st.rk[p] * n_arr[p],
-                             n_arr[p + 1] * st.rk[p + 2]).astype(jnp.int64)
-            bcol = _col_residual(st, p, acol, c["kk"], c["qq"])
-            brow = _row_residual(st, p, arow, c["ii"], c["jj"])
-            i2, j2 = _masked_argmax2(bcol, cmask)
-            k2, q2 = _masked_argmax2(brow, rmask2)
-            havecol = c["havecol"] | is_col
-            haverow = c["haverow"] | ~is_col
-            crs = c["crs"] + 1
-            budget = havecol & haverow & (crs >= 2 * cfg.piv)
-            stat = havecol & haverow & jnp.where(
-                is_col, (i2 == c["ii"]) & (j2 == c["jj"]),
-                (k2 == c["kk"]) & (q2 == c["qq"]))
-            upd = ~budget
-            uc = upd & is_col
-            ur = upd & ~is_col
-            new = dict(ii=jnp.where(uc, i2, c["ii"]),
-                       jj=jnp.where(uc, j2, c["jj"]),
-                       kk=jnp.where(ur, k2, c["kk"]),
-                       qq=jnp.where(ur, q2, c["qq"]),
-                       pivot=jnp.where(upd, jnp.where(is_col, bcol[i2, j2],
-                                                      brow[k2, q2]), c["pivot"]),
-                       acol=jnp.where(is_col, acol, c["acol"]),
-                       arow=jnp.where(is_col, c["arow"], arow),
-                       havecol=havecol, haverow=haverow, crs=crs,
+                arow = jnp.where(rmask2, fun(ind).reshape(N, R), 0.0)
+                amax = jnp.maximum(c["amax"], jnp.max(jnp.abs(arow)))
+                dnev = (n_arr[p + 1] * st.rk[p + 2]).astype(jnp.int64)
+                brow = _row_residual(st, p, arow, c["ii"], c["jj"])
+                k2, q2 = _masked_argmax2(brow, rmask2)
+                havecol, haverow = c["havecol"], jnp.asarray(True)
+                budget = havecol & (crs >= 2 * cfg.piv)
+                stat = havecol & (k2 == c["kk"]) & (q2 == c["qq"])
+                upd = ~budget
+                new = dict(ii=c["ii"], jj=c["jj"],
+                           kk=jnp.where(upd, k2, c["kk"]),
+                           qq=jnp.where(upd, q2, c["qq"]),
+                           pivot=jnp.where(upd, brow[k2, q2], c["pivot"]),
+                           acol=c["acol"], arow=arow)
+            new.update(havecol=havecol, haverow=haverow, crs=crs,
                        done=budget | (upd & stat),
                        amax=amax, neval=c["neval"] + dnev)
             return sel(live, new, c)
 
         for t in range(2 * cfg.piv):
             # '>>': col on even passes; '<<': row first
-            c = unified_pass(c, dir_fwd == (t % 2 == 0))
+            c = unified_pass(c, fwd == (t % 2 == 0))
         # padded work: every unrolled pass calls fun on a full (R, N)
         # batch whether or not its `done` flag froze the state
         st = st._replace(amax=c["amax"], neval=c["neval"],
@@ -619,13 +627,17 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                            lu_c=lu_c, lu_u=lu_u, lu_d=lu_d, itl=itl, itt=itt,
                            pivotmax=pivotmax, pivotmin=pivotmin)
 
-    def visit_bond(st: CrossState, p, dir_fwd, own_lo=0, own_hi=d - 1,
+    def visit_bond(st: CrossState, p, dir_fwd: bool, own_lo=0, own_hi=d - 1,
                    ltab=None, rtab=None, u2=None, lw=None):
         """Hunt + (maybe) accept at bond p.  Returns (state, tape_i, tape_f):
         tape_i (5,) int32 = (accepted, ii, jj, kk, qq); tape_f (2R+1,) =
         (c border, u border, pivot) — the per-sweep record the distributed
         engine exchanges (the reference's 4-int tape, dmrgg.f90:598-604,
         extended with the LU row so replicas replay the LU too).
+
+        dir_fwd is a PYTHON bool (trace-time constant): the sweep driver
+        conds once per sweep on the parity and each direction's body is
+        compiled with only its own rook pass order (see _rook).
 
         ltab/rtab: the bond's chain tables; if not supplied they are
         rebuilt by direct scans (the sweep drivers pass precomputed /
@@ -659,37 +671,54 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         st = _accept(st, p, piv_idx, pivot, acol, arow, own_lo, own_hi, upd)
         return st, tape_i, tape_f
 
-    def sweep_fn_inner(st: CrossState, it, lw=None) -> CrossState:
-        """One full sweep over all bonds (dmrgg.f90:314-760);
-        '>>' on odd iterations (dmrgg.f90:316).
+    def make_sweep_seq(fwd: bool):
+        """One full sweep over all bonds in a STATIC direction
+        (dmrgg.f90:314-760); the per-sweep dispatch conds on the parity
+        ('>>' on odd iterations, dmrgg.f90:316) so each body compiles with
+        only its own rook pass order and table-advance recurrence.
 
         Chain tables: the direction we sweep AWAY from is precomputed once
         (those bonds' vip entries can't change before we reach them); the
         direction we sweep INTO is advanced incrementally — O(d R) per
         sweep instead of O(d^2 R) of per-bond scans."""
+
+        def sweep(args):
+            st, lw = args
+            key, sub = jax.random.split(st.key)
+            U = jax.random.uniform(sub, (d - 1, 2, NLOT), jnp.float64)
+            st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
+                             pivotmin=jnp.full((), -1.0, st.amax.dtype),
+                             key=key)
+            AT = all_right_tables(st.vip, d) if fwd else all_left_tables(st.vip, d)
+            tab0 = jnp.zeros((R, d), st.vip.dtype)   # = LT[0] and RT[d-2]
+
+            def body(idx, carry):
+                s, tab = carry
+                p = idx if fwd else d - 2 - idx
+                ltab = tab if fwd else _at(AT, p)
+                rtab = _at(AT, p) if fwd else tab
+                s = visit_bond(s, p, fwd, ltab=ltab, rtab=rtab,
+                               u2=_at(U, p), lw=lw)[0]
+                vip_p = _at(s.vip, p)
+                tab = (advance_left(tab, vip_p, p) if fwd
+                       else advance_right(tab, vip_p, p - 1))
+                return s, tab
+
+            st, _ = jax.lax.fori_loop(0, d - 1, body, (st, tab0))
+            return st._replace(pivotmax_prev=st.pivotmax)
+
+        return sweep
+
+    _sweep_seq = {True: make_sweep_seq(True), False: make_sweep_seq(False)}
+
+    def sweep_fn_inner(st: CrossState, it, lw=None) -> CrossState:
+        """Direction-alternating sweep: ONE cond per sweep selecting the
+        forward or backward static body (a per-sweep state select is
+        negligible; per-visit conds were the costly pattern — see
+        sweep_capped_inner, which established this dispatch)."""
         dir_fwd = (it % 2) == 1
-        key, sub = jax.random.split(st.key)
-        U = jax.random.uniform(sub, (d - 1, 2, NLOT), jnp.float64)
-        st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
-                         pivotmin=jnp.full((), -1.0, st.amax.dtype),
-                         key=key)
-        LT = all_left_tables(st.vip, d)
-        RT = all_right_tables(st.vip, d)
-        tab0 = jnp.zeros((R, d), st.vip.dtype)   # = LT[0] and RT[d-2]
-
-        def body(idx, carry):
-            s, tab = carry
-            p = jnp.where(dir_fwd, idx, d - 2 - idx)
-            ltab = jnp.where(dir_fwd, tab, _at(LT, p))
-            rtab = jnp.where(dir_fwd, _at(RT, p), tab)
-            s = visit_bond(s, p, dir_fwd, ltab=ltab, rtab=rtab, u2=_at(U, p), lw=lw)[0]
-            vip_p = _at(s.vip, p)
-            tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
-                            advance_right(tab, vip_p, p - 1))
-            return s, tab
-
-        st, _ = jax.lax.fori_loop(0, d - 1, body, (st, tab0))
-        return st._replace(pivotmax_prev=st.pivotmax)
+        return jax.lax.cond(dir_fwd, _sweep_seq[True], _sweep_seq[False],
+                            (st, lw))
 
     # -------------------------------------------------- capped bond visit
     def _visit_bond_capped(st: CrossState, p: int, u2):
@@ -734,10 +763,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                           cdf_c[-1] * below)
         t_r = jnp.minimum(u2r * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
                           cdf_r[-1] * below)
-        lin_c = jnp.minimum(jnp.searchsorted(cdf_c, t_c, side="right"),
-                            Rl * N - 1).astype(jnp.int_)
-        lin_r = jnp.minimum(jnp.searchsorted(cdf_r, t_r, side="right"),
-                            Rr * N - 1).astype(jnp.int_)
+        lin_c = jnp.minimum(
+            jnp.searchsorted(cdf_c, t_c, side="right", method="compare_all"),
+            Rl * N - 1).astype(jnp.int_)
+        lin_r = jnp.minimum(
+            jnp.searchsorted(cdf_r, t_r, side="right", method="compare_all"),
+            Rr * N - 1).astype(jnp.int_)
         i_c, j_c = _decode_div(lin_c, N)
         q_c, k_c = _decode_div(lin_r, N)
         nlot_act = st.rk[p] + n_arr[p] + n_arr[p + 1] + st.rk[p + 2]
@@ -878,11 +909,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                             make_sweep_capped(False), st)
 
     # ------------------------------------------------------- Jacobi sweep
-    def sweep_jacobi_inner(st: CrossState, it, lw=None) -> CrossState:
-        """All-bonds-batched sweep: every bond hunts CONCURRENTLY against
-        the start-of-sweep factors, so one sweep costs a fixed number of
-        large batched integrand calls (1 lottery + 2 piv rook passes + 1
-        corner batch) and ~40 vector ops, independent of the chain length.
+    def make_sweep_jacobi(fwd: bool):
+        """All-bonds-batched sweep in a STATIC direction: every bond hunts
+        CONCURRENTLY against the start-of-sweep factors, so one sweep costs
+        a fixed number of large batched integrand calls (1 lottery + 2 piv
+        rook passes + 1 corner batch) and ~40 vector ops, independent of
+        the chain length.
 
         This is the single-device rendering of the reference's own
         dimension-parallel decomposition taken to its limit (slab = one
@@ -899,44 +931,64 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         sweep cost collapses from 254 bond visits to ~5 batched calls."""
         if cfg.piv < 0:
             raise NotImplementedError("jacobi mode supports pivoting >= 0")
+
+        def sweep(args):
+            st, lw = args
+            return _sweep_jacobi_body(st, fwd, lw)
+
+        return sweep
+
+    def jacobi_hunt(st: CrossState, U, dir_fwd: bool, base, mc: int,
+                    live, lw=None):
+        """Batched lottery + rook hunt over the mc-bond window starting at
+        bond `base` (traced; clamped by the caller so base+mc <= d-1).
+        live (mc,) masks window rows outside the caller's slab — a dead
+        row contributes nothing to amax / n_evals and its outputs are
+        garbage the caller must mask.  The single-device sweep uses the
+        full window (base=0, mc=d-1); the distributed engine gives each
+        device its own slab window and psums the results (slab-level
+        Jacobi).  Returns (hunt dict, amax', neval', padded')."""
         dt = st.cores.dtype
         nb = d - 1
-        ps = jnp.arange(nb)
-        dir_fwd = (it % 2) == 1
-        key, sub = jax.random.split(st.key)
-        U = jax.random.uniform(sub, (nb, 2, NLOT), jnp.float64)
-        st = st._replace(key=key)
-        LT = all_left_tables(st.vip, d)       # (nb, R, d)
-        RT = all_right_tables(st.vip, d)
-        rk_l = st.rk[:-2]                     # (nb,) rk[p]
-        rk_b = st.rk[1:-1]                    # rk[p+1]
-        rk_r = st.rk[2:]                      # rk[p+2]
-        n_l = n_arr[:-1]
-        n_r = n_arr[1:]
-        colf_b = st.colf[:-1]                 # (nb, R, N, R) slot p
-        rowf_b = st.rowf[1:]                  # (nb, R, N, R) slot p+1
-        # rowf permuted so flat row q*N+k reads rowf[p+1][:, k, q]
-        rowf_perm = rowf_b.transpose(0, 3, 2, 1).reshape(nb, R * N, R)
-        colf_flat = colf_b.reshape(nb, R * N, R)
-        rmask_b = (iR[None, :] < rk_b[:, None]).astype(dt)   # (nb, R)
-        cmask = ((iR[None, :, None] < rk_l[:, None, None])
-                 & (iN[None, None, :] < n_l[:, None, None]))  # (nb, R, N)
-        rmask2 = ((iN[None, :, None] < n_r[:, None, None])
-                  & (iR[None, None, :] < rk_r[:, None, None]))  # (nb, N, R)
+        psw = base + jnp.arange(mc)           # global bond ids (mc,)
 
-        # ---------------- batched lottery (all bonds, one integrand call)
+        def win(a, off=0, width=None):
+            return jax.lax.dynamic_slice_in_dim(a, base + off, mc, axis=0)
+
+        LT = win(all_left_tables(st.vip, d))  # (mc, R, d)
+        RT = win(all_right_tables(st.vip, d))
+        rk = st.rk
+        rk_l = win(rk)                        # (mc,) rk[p]
+        rk_b = win(rk, 1)                     # rk[p+1]
+        rk_r = win(rk, 2)                     # rk[p+2]
+        n_l = win(n_arr)
+        n_r = win(n_arr, 1)
+        colf_b = win(st.colf)                 # (mc, R, N, R) slot p
+        rowf_b = win(st.rowf, 1)              # (mc, R, N, R) slot p+1
+        # rowf permuted so flat row q*N+k reads rowf[p+1][:, k, q]
+        rowf_perm = rowf_b.transpose(0, 3, 2, 1).reshape(mc, R * N, R)
+        colf_flat = colf_b.reshape(mc, R * N, R)
+        rmask_b = (iR[None, :] < rk_b[:, None]).astype(dt)   # (mc, R)
+        lv1 = live[:, None]
+        cmask = (lv1[:, :, None] & (iR[None, :, None] < rk_l[:, None, None])
+                 & (iN[None, None, :] < n_l[:, None, None]))  # (mc, R, N)
+        rmask2 = (lv1[:, :, None] & (iN[None, :, None] < n_r[:, None, None])
+                  & (iR[None, None, :] < rk_r[:, None, None]))  # (mc, N, R)
+
+        # ---------------- batched lottery (all live bonds, one call)
         smask = iR[None, :] < rk_b[:, None]
-        vb = st.vip
-        used_col = jnp.zeros((nb, R * N), bool) \
-            .at[ps[:, None], vb[:, :, 0] * N + vb[:, :, 1]].max(smask)
-        used_row = jnp.zeros((nb, R * N), bool) \
-            .at[ps[:, None], vb[:, :, 3] * N + vb[:, :, 2]].max(smask)
-        wcol = (cmask.reshape(nb, R * N) & ~used_col).astype(jnp.float64)
-        wrow = (rmask2.transpose(0, 2, 1).reshape(nb, R * N)
+        vb = win(st.vip)
+        psm = jnp.arange(mc)
+        used_col = jnp.zeros((mc, R * N), bool) \
+            .at[psm[:, None], vb[:, :, 0] * N + vb[:, :, 1]].max(smask)
+        used_row = jnp.zeros((mc, R * N), bool) \
+            .at[psm[:, None], vb[:, :, 3] * N + vb[:, :, 2]].max(smask)
+        wcol = (cmask.reshape(mc, R * N) & ~used_col).astype(jnp.float64)
+        wrow = (rmask2.transpose(0, 2, 1).reshape(mc, R * N)
                 & ~used_row).astype(jnp.float64)
         if cfg.wlot and lw is not None:
-            wcol = wcol * jnp.tile(jnp.abs(lw[:-1]), (1, R))
-            wrow = wrow * jnp.tile(jnp.abs(lw[1:]), (1, R))
+            wcol = wcol * jnp.tile(jnp.abs(win(lw)), (1, R))
+            wrow = wrow * jnp.tile(jnp.abs(win(lw, 1)), (1, R))
         cdf_c = jnp.cumsum(wcol, axis=1)
         cdf_r = jnp.cumsum(wrow, axis=1)
         below = 1.0 - 2.0 ** -50
@@ -946,20 +998,22 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                           tot_c * below)
         t_r = jnp.minimum(U[:, 1, :] * jnp.where(tot_r > 0, tot_r, 1.0),
                           tot_r * below)
-        ssr = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))
+        ssr = jax.vmap(lambda a, v: jnp.searchsorted(
+            a, v, side="right", method="compare_all"))
         lin_c = jnp.minimum(ssr(cdf_c, t_c), R * N - 1).astype(jnp.int_)
         lin_r = jnp.minimum(ssr(cdf_r, t_r), R * N - 1).astype(jnp.int_)
         i_c, j_c = _decode_div(lin_c, N)
         q_c, k_c = _decode_div(lin_r, N)
         nlot_act = rk_l + n_l + n_r + rk_r
-        candmask = jnp.arange(NLOT)[None, :] < nlot_act[:, None]
+        candmask = lv1 & (jnp.arange(NLOT)[None, :] < nlot_act[:, None])
         asm = jax.vmap(assemble_indices, (0, 0, 0, 0, 0, 0, 0, None))
-        ind = asm(LT, RT, ps, i_c, j_c, k_c, q_c, d)          # (nb, NLOT, d)
-        b = fun(ind.reshape(-1, d)).reshape(nb, NLOT)
+        ind = asm(LT, RT, psw, i_c, j_c, k_c, q_c, d)         # (mc, NLOT, d)
+        b = fun(ind.reshape(-1, d)).reshape(mc, NLOT)
         amax = jnp.maximum(st.amax,
                            jnp.max(jnp.where(candmask, jnp.abs(b), 0.0)))
-        neval = st.neval + jnp.sum(nlot_act).astype(jnp.int64)
-        padded = st.padded + nb * NLOT
+        neval = st.neval + jnp.sum(
+            jnp.where(live, nlot_act, 0)).astype(jnp.int64)
+        padded = st.padded + mc * NLOT
         cf = jnp.take_along_axis(
             colf_flat, lin_c[:, :, None].astype(jnp.int32), axis=1)
         rf = jnp.take_along_axis(
@@ -984,79 +1038,79 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             rg_k, rg_q, d))
 
         c = dict(ii=ii, jj=jj, kk=kk, qq=qq, pivot=pivot,
-                 acol=jnp.zeros((nb, R, N), dt),
-                 arow=jnp.zeros((nb, N, R), dt),
-                 havecol=jnp.zeros((nb,), bool),
-                 haverow=jnp.zeros((nb,), bool),
-                 crs=jnp.zeros((nb,), jnp.int32),
-                 done=jnp.zeros((nb,), bool),
+                 acol=jnp.zeros((mc, R, N), dt),
+                 arow=jnp.zeros((mc, N, R), dt),
+                 havecol=jnp.zeros((mc,), bool),
+                 haverow=jnp.zeros((mc,), bool),
+                 crs=jnp.zeros((mc,), jnp.int32),
+                 done=~live,
                  amax=amax, neval=neval)
 
         def amax2(x, y):
             return jnp.maximum(x, y)
 
-        def unified_pass_all(c, is_col):
-            live = ~c["done"]                                  # (nb,)
-            ind_col = asm_col(LT, RT, ps, c["kk"], c["qq"])    # (nb, R*N, d)
-            ind_row = asm_row(LT, RT, ps, c["ii"], c["jj"])
-            vals = fun(jnp.where(is_col, ind_col, ind_row)
-                       .reshape(-1, d)).reshape(nb, R * N)
-            acol = jnp.where(cmask, vals.reshape(nb, R, N), 0.0)
-            arow = jnp.where(rmask2, vals.reshape(nb, N, R), 0.0)
-            amax = amax2(c["amax"], jnp.max(jnp.abs(jnp.where(
-                is_col, acol.reshape(nb, -1), arow.reshape(nb, -1)))))
-            dnev = jnp.where(is_col, rk_l * n_l, n_r * rk_r)
-            dnev = jnp.sum(jnp.where(live, dnev, 0)).astype(jnp.int64)
-            u = jnp.take_along_axis(
-                rowf_perm, (c["qq"] * N + c["kk"])[:, None, None]
-                .astype(jnp.int32), axis=1)[:, 0, :] * rmask_b  # (nb, R)
-            bcol = acol - jnp.einsum("pinr,pr->pin",
-                                     colf_b * rmask_b[:, None, None, :], u)
-            cw = jnp.take_along_axis(
-                colf_flat, (c["ii"] * N + c["jj"])[:, None, None]
-                .astype(jnp.int32), axis=1)[:, 0, :] * rmask_b
-            brow = arow - jnp.einsum("pr,prnq->pnq", cw, rowf_b)
-            # two-stage masked argmax per bond
-            sc = jnp.where(cmask, jnp.abs(bcol), -1.0)
-            i2 = jnp.argmax(jnp.max(sc, axis=2), axis=1)
-            j2 = jnp.argmax(jnp.take_along_axis(
-                sc, i2[:, None, None], axis=1)[:, 0, :], axis=1)
-            sr = jnp.where(rmask2, jnp.abs(brow), -1.0)
-            k2 = jnp.argmax(jnp.max(sr, axis=2), axis=1)
-            q2 = jnp.argmax(jnp.take_along_axis(
-                sr, k2[:, None, None], axis=1)[:, 0, :], axis=1)
-            havecol = c["havecol"] | is_col
-            haverow = c["haverow"] | ~is_col
+        def unified_pass_all(c, is_col: bool):
+            live = ~c["done"]                                  # (mc,)
             crs = c["crs"] + 1
-            budget = havecol & haverow & (crs >= 2 * cfg.piv)
-            stat = havecol & haverow & jnp.where(
-                is_col, (i2 == c["ii"]) & (j2 == c["jj"]),
-                (k2 == c["kk"]) & (q2 == c["qq"]))
-            upd = ~budget
-
-            def pick2(m, a, b2):
-                return jnp.where(m, a, b2)
-
-            uc = upd & is_col
-            ur = upd & ~is_col
-            pv_col = jnp.take_along_axis(bcol.reshape(nb, -1),
+            if is_col:
+                ind = asm_col(LT, RT, psw, c["kk"], c["qq"])    # (mc, R*N, d)
+                vals = fun(ind.reshape(-1, d)).reshape(mc, R * N)
+                acol = jnp.where(cmask, vals.reshape(mc, R, N), 0.0)
+                amax = amax2(c["amax"], jnp.max(jnp.abs(acol)))
+                dnev = jnp.sum(jnp.where(live, rk_l * n_l, 0)).astype(jnp.int64)
+                u = jnp.take_along_axis(
+                    rowf_perm, (c["qq"] * N + c["kk"])[:, None, None]
+                    .astype(jnp.int32), axis=1)[:, 0, :] * rmask_b  # (mc, R)
+                bcol = acol - jnp.einsum("pinr,pr->pin",
+                                         colf_b * rmask_b[:, None, None, :], u)
+                sc = jnp.where(cmask, jnp.abs(bcol), -1.0)
+                i2 = jnp.argmax(jnp.max(sc, axis=2), axis=1)
+                j2 = jnp.argmax(jnp.take_along_axis(
+                    sc, i2[:, None, None], axis=1)[:, 0, :], axis=1)
+                havecol, haverow = jnp.ones((mc,), bool), c["haverow"]
+                budget = haverow & (crs >= 2 * cfg.piv)
+                stat = haverow & (i2 == c["ii"]) & (j2 == c["jj"])
+                upd = ~budget
+                pv = jnp.take_along_axis(bcol.reshape(mc, -1),
                                          (i2 * N + j2)[:, None], 1)[:, 0]
-            pv_row = jnp.take_along_axis(brow.reshape(nb, -1),
+                new = dict(
+                    ii=jnp.where(upd, i2, c["ii"]),
+                    jj=jnp.where(upd, j2, c["jj"]),
+                    kk=c["kk"], qq=c["qq"],
+                    pivot=jnp.where(upd, pv, c["pivot"]),
+                    acol=acol, arow=c["arow"])
+            else:
+                ind = asm_row(LT, RT, psw, c["ii"], c["jj"])
+                vals = fun(ind.reshape(-1, d)).reshape(mc, R * N)
+                arow = jnp.where(rmask2, vals.reshape(mc, N, R), 0.0)
+                amax = amax2(c["amax"], jnp.max(jnp.abs(arow)))
+                dnev = jnp.sum(jnp.where(live, n_r * rk_r, 0)).astype(jnp.int64)
+                cw = jnp.take_along_axis(
+                    colf_flat, (c["ii"] * N + c["jj"])[:, None, None]
+                    .astype(jnp.int32), axis=1)[:, 0, :] * rmask_b
+                brow = arow - jnp.einsum("pr,prnq->pnq", cw, rowf_b)
+                sr = jnp.where(rmask2, jnp.abs(brow), -1.0)
+                k2 = jnp.argmax(jnp.max(sr, axis=2), axis=1)
+                q2 = jnp.argmax(jnp.take_along_axis(
+                    sr, k2[:, None, None], axis=1)[:, 0, :], axis=1)
+                havecol, haverow = c["havecol"], jnp.ones((mc,), bool)
+                budget = havecol & (crs >= 2 * cfg.piv)
+                stat = havecol & (k2 == c["kk"]) & (q2 == c["qq"])
+                upd = ~budget
+                pv = jnp.take_along_axis(brow.reshape(mc, -1),
                                          (k2 * R + q2)[:, None], 1)[:, 0]
-            new = dict(
-                ii=pick2(uc, i2, c["ii"]), jj=pick2(uc, j2, c["jj"]),
-                kk=pick2(ur, k2, c["kk"]), qq=pick2(ur, q2, c["qq"]),
-                pivot=jnp.where(upd, jnp.where(is_col, pv_col, pv_row),
-                                c["pivot"]),
-                acol=jnp.where(is_col, acol, c["acol"]),
-                arow=jnp.where(is_col, c["arow"], arow),
-                havecol=havecol, haverow=haverow, crs=crs,
-                done=budget | (upd & stat),
-                amax=amax, neval=c["neval"] + dnev)
-            live_b = live[:, None]
+                new = dict(
+                    ii=c["ii"], jj=c["jj"],
+                    kk=jnp.where(upd, k2, c["kk"]),
+                    qq=jnp.where(upd, q2, c["qq"]),
+                    pivot=jnp.where(upd, pv, c["pivot"]),
+                    acol=c["acol"], arow=arow)
+            new.update(havecol=havecol, haverow=haverow, crs=crs,
+                       done=budget | (upd & stat),
+                       amax=amax, neval=c["neval"] + dnev)
 
             def sel(a, b2):
-                br = live.reshape((nb,) + (1,) * (a.ndim - 1))
+                br = live.reshape((mc,) + (1,) * (a.ndim - 1))
                 return jnp.where(br, a, b2)
 
             out = {k: (sel(v, c[k]) if k not in ("amax", "neval") else v)
@@ -1067,25 +1121,49 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
         if cfg.piv == 0:
             # seed fibers once: one col call + one row call (all bonds)
-            ind_col = asm_col(LT, RT, ps, c["kk"], c["qq"])
-            vals = fun(ind_col.reshape(-1, d)).reshape(nb, R, N)
+            ind_col = asm_col(LT, RT, psw, c["kk"], c["qq"])
+            vals = fun(ind_col.reshape(-1, d)).reshape(mc, R, N)
             acol = jnp.where(cmask, vals, 0.0)
-            ind_row = asm_row(LT, RT, ps, c["ii"], c["jj"])
-            vals = fun(ind_row.reshape(-1, d)).reshape(nb, N, R)
+            ind_row = asm_row(LT, RT, psw, c["ii"], c["jj"])
+            vals = fun(ind_row.reshape(-1, d)).reshape(mc, N, R)
             arow = jnp.where(rmask2, vals, 0.0)
             amax = jnp.maximum(c["amax"], jnp.maximum(
                 jnp.max(jnp.abs(acol)), jnp.max(jnp.abs(arow))))
-            neval = c["neval"] + jnp.sum(rk_l * n_l + n_r * rk_r).astype(jnp.int64)
+            neval = c["neval"] + jnp.sum(
+                jnp.where(live, rk_l * n_l + n_r * rk_r, 0)).astype(jnp.int64)
             c.update(acol=acol, arow=arow, amax=amax, neval=neval)
-            padded = padded + 2 * nb * R * N
+            padded = padded + 2 * mc * R * N
         else:
             for t in range(2 * cfg.piv):
                 c = unified_pass_all(c, dir_fwd == (t % 2 == 0))
-            padded = padded + 2 * cfg.piv * nb * R * N
-        ii, jj, kk, qq = c["ii"], c["jj"], c["kk"], c["qq"]
-        pivot, acol, arow = c["pivot"], c["acol"], c["arow"]
-        amax, neval = c["amax"], c["neval"]
-        st = st._replace(amax=amax, neval=neval, padded=padded)
+            padded = padded + 2 * cfg.piv * mc * R * N
+        hunt = dict(ii=c["ii"], jj=c["jj"], kk=c["kk"], qq=c["qq"],
+                    pivot=c["pivot"], acol=c["acol"], arow=c["arow"])
+        return hunt, c["amax"], c["neval"], padded
+
+    def jacobi_apply(st: CrossState, hunt, corner_count=None) -> CrossState:
+        """Batched acceptance + corner repair + vectorized reconstruction
+        for a FULL-width (d-1 bonds) jacobi hunt result.  Deterministic in
+        (st, hunt): on a mesh every device runs this replicated on the
+        psum-merged hunt, keeping the whole state exactly consistent.
+
+        st must already carry the (globally merged) post-hunt amax /
+        neval / padded.  corner_count (d-1,) bool: which corner fibers
+        THIS caller counts into neval (the distributed engine counts a
+        bond's corners only on its owner; the evaluation itself is
+        replicated)."""
+        dt = st.cores.dtype
+        nb = d - 1
+        ps = jnp.arange(nb)
+        ii, jj, kk, qq = hunt["ii"], hunt["jj"], hunt["kk"], hunt["qq"]
+        pivot, acol, arow = hunt["pivot"], hunt["acol"], hunt["arow"]
+        amax = st.amax
+        rk_b = st.rk[1:-1]
+        n_l = n_arr[:-1]
+        n_r = n_arr[1:]
+        rmask_b = (iR[None, :] < rk_b[:, None]).astype(dt)   # (nb, R)
+        rowf_perm = st.rowf[1:].transpose(0, 3, 2, 1).reshape(nb, R * N, R)
+        colf_flat = st.colf[:-1].reshape(nb, R * N, R)
 
         # ---------------- batched acceptance + vectorized replay
         upd = ((jnp.abs(pivot) > cfg.small_element * amax)
@@ -1150,8 +1228,10 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                                vals_c[0], 0.0)                 # (nb, N)
         corner_row = jnp.where(rmiss[:, None] & (iN[None, :] < n_r[:, None]),
                                vals_c[1], 0.0)
+        cc = jnp.ones((nb,), bool) if corner_count is None else corner_count
         neval = st.neval + jnp.sum(
-            jnp.where(lmiss, n_l, 0) + jnp.where(rmiss, n_r, 0)).astype(jnp.int64)
+            jnp.where(cc & lmiss, n_l, 0)
+            + jnp.where(cc & rmiss, n_r, 0)).astype(jnp.int64)
         padded = st.padded + 2 * nb * N
         st = st._replace(neval=neval, padded=padded)
         acol = acol.at[ps, i_newL, :].set(
@@ -1192,6 +1272,27 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         st = st._replace(cores=cores, colf=colf, rowf=rowf,
                          pivotmax_prev=pivotmax)
         return st
+
+    def _sweep_jacobi_body(st: CrossState, dir_fwd: bool, lw=None) -> CrossState:
+        nb = d - 1
+        key, sub = jax.random.split(st.key)
+        U = jax.random.uniform(sub, (nb, 2, NLOT), jnp.float64)
+        st = st._replace(key=key)
+        hunt, amax, neval, padded = jacobi_hunt(
+            st, U, dir_fwd, 0, nb, jnp.ones((nb,), bool), lw)
+        st = st._replace(amax=amax, neval=neval, padded=padded)
+        return jacobi_apply(st, hunt)
+
+    if cfg.jacobi:
+        _sweep_jac = {True: make_sweep_jacobi(True),
+                      False: make_sweep_jacobi(False)}
+
+    def sweep_jacobi_inner(st: CrossState, it, lw=None) -> CrossState:
+        """Jacobi sweep with the usual direction alternation: ONE cond per
+        sweep selecting the static forward/backward pass order."""
+        dir_fwd = (it % 2) == 1
+        return jax.lax.cond(dir_fwd, _sweep_jac[True], _sweep_jac[False],
+                            (st, lw))
 
     if cfg.caps is not None:
         sweep_impl = sweep_capped_inner
@@ -1342,6 +1443,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         eval_col_fiber=_eval_col_fiber, eval_row_fiber=_eval_row_fiber,
         init_neval=cfg.snum * int(min(cfg.n)) + int(sum(cfg.n)),
         finalize_fn=finalize_fn, make_full_fn=make_full_fn,
+        jacobi_hunt=jacobi_hunt, jacobi_apply=jacobi_apply,
     )
 
 

@@ -113,46 +113,57 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         return me, own_lo_tbl[me], own_hi_tbl[me]
 
     # -------------------------------------------------------------- sweep
-    def local_sweep(st: CrossState, it, own_lo, own_hi):
-        """Sequential hunt over the owned slab, recording the tape."""
-        cnt = own_hi - own_lo
-        dir_fwd = (it % 2) == 1
-        key, sub = jax.random.split(st.key)
-        U = jax.random.uniform(sub, (d - 1, 2, 2 * (R + N)), jnp.float64)
-        st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
-                         pivotmin=jnp.full((), -1.0, st.amax.dtype),
-                         key=key)
-        tape_i = jnp.zeros((d - 1, 5), jnp.int32)
-        tape_f = jnp.zeros((d - 1, 2 * R + 1), st.amax.dtype)
-        LT = all_left_tables(st.vip, d)
-        RT = all_right_tables(st.vip, d)
-        first = jnp.where(dir_fwd, own_lo, own_hi - 1).astype(jnp.int32)
-        tab0 = jnp.where(dir_fwd, _at(LT, first), _at(RT, first))
+    def make_local_sweep(fwd: bool):
+        """Sequential hunt over the owned slab in a STATIC direction,
+        recording the tape (the per-sweep dispatch conds on the parity, so
+        each body compiles with only its own rook pass order — see
+        engine._rook)."""
 
-        def body(idx, carry):
-            st, ti, tf, tab = carry
-            off = jnp.where(dir_fwd, idx, cnt - 1 - idx)
-            p = (own_lo + jnp.clip(off, 0, jnp.maximum(cnt - 1, 0))).astype(jnp.int32)
-            valid = idx < cnt
+        def local_sweep(st: CrossState, own_lo, own_hi):
+            cnt = own_hi - own_lo
+            key, sub = jax.random.split(st.key)
+            U = jax.random.uniform(sub, (d - 1, 2, 2 * (R + N)), jnp.float64)
+            st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
+                             pivotmin=jnp.full((), -1.0, st.amax.dtype),
+                             key=key)
+            tape_i = jnp.zeros((d - 1, 5), jnp.int32)
+            tape_f = jnp.zeros((d - 1, 2 * R + 1), st.amax.dtype)
+            AT = (all_right_tables(st.vip, d) if fwd
+                  else all_left_tables(st.vip, d))
+            first = (own_lo if fwd else own_hi - 1).astype(jnp.int32)
+            # the table we advance INTO starts at the slab edge: LT[own_lo]
+            # for '>>' ( = advance of LT up to own_lo), RT[own_hi-1] for '<<'
+            tab0 = (left_table(st.vip, first, d) if fwd
+                    else right_table(st.vip, first, d))
 
-            def do(args):
-                st, ti, tf, tab = args
-                ltab = jnp.where(dir_fwd, tab, _at(LT, p))
-                rtab = jnp.where(dir_fwd, _at(RT, p), tab)
-                st2, row_i, row_f = kit.visit_bond(st, p, dir_fwd, own_lo, own_hi,
-                                                   ltab=ltab, rtab=rtab, u2=_at(U, p))
-                ti = jax.lax.dynamic_update_slice(ti, row_i[None], (p, jnp.int32(0)))
-                tf = jax.lax.dynamic_update_slice(tf, row_f[None], (p, jnp.int32(0)))
-                vip_p = _at(st2.vip, p)
-                tab = jnp.where(dir_fwd, advance_left(tab, vip_p, p),
-                                advance_right(tab, vip_p, p - 1))
-                return st2, ti, tf, tab
+            def body(idx, carry):
+                st, ti, tf, tab = carry
+                off = idx if fwd else cnt - 1 - idx
+                p = (own_lo + jnp.clip(off, 0, jnp.maximum(cnt - 1, 0))).astype(jnp.int32)
+                valid = idx < cnt
 
-            return jax.lax.cond(valid, do, lambda a: a, (st, ti, tf, tab))
+                def do(args):
+                    st, ti, tf, tab = args
+                    ltab = tab if fwd else _at(AT, p)
+                    rtab = _at(AT, p) if fwd else tab
+                    st2, row_i, row_f = kit.visit_bond(st, p, fwd, own_lo, own_hi,
+                                                       ltab=ltab, rtab=rtab, u2=_at(U, p))
+                    ti = jax.lax.dynamic_update_slice(ti, row_i[None], (p, jnp.int32(0)))
+                    tf = jax.lax.dynamic_update_slice(tf, row_f[None], (p, jnp.int32(0)))
+                    vip_p = _at(st2.vip, p)
+                    tab = (advance_left(tab, vip_p, p) if fwd
+                           else advance_right(tab, vip_p, p - 1))
+                    return st2, ti, tf, tab
 
-        st, tape_i, tape_f, _ = jax.lax.fori_loop(0, max_cnt, body,
-                                                  (st, tape_i, tape_f, tab0))
-        return st, tape_i, tape_f
+                return jax.lax.cond(valid, do, lambda a: a, (st, ti, tf, tab))
+
+            st, tape_i, tape_f, _ = jax.lax.fori_loop(0, max_cnt, body,
+                                                      (st, tape_i, tape_f, tab0))
+            return st, tape_i, tape_f
+
+        return local_sweep
+
+    _local_sweep = {True: make_local_sweep(True), False: make_local_sweep(False)}
 
     def replay(st: CrossState, TI, TF, own_lo, own_hi):
         """Apply every other device's accepted pivots to vip / rk / LU
@@ -257,7 +268,11 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         in f64), and one all_gather of a 5-scalar vector carrying the
         max/min/sum reductions together."""
         dt = st.amax.dtype
-        st, tape_i, tape_f = local_sweep(st, it, own_lo, own_hi)
+        st, tape_i, tape_f = jax.lax.cond(
+            (it % 2) == 1,
+            lambda a: _local_sweep[True](*a),
+            lambda a: _local_sweep[False](*a),
+            (st, own_lo, own_hi))
         payload = jnp.concatenate([tape_f, tape_i.astype(dt)], axis=1)
         TP = jax.lax.psum(payload, BOND_AXIS)       # (d-1, 2R+6)
         TF = TP[:, : 2 * R + 1]
