@@ -297,6 +297,78 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         padded_tot = jnp.sum(G[:, 4]).astype(jnp.int64) + init_padded
         return st, nev_tot, padded_tot
 
+    def psweep_jacobi(st: CrossState, it, own_lo, own_hi):
+        """One distributed slab-level Jacobi sweep: each device runs the
+        batched lottery+rook hunt over ITS OWN bond slab (engine
+        jacobi_hunt with a clamped mc-wide window), the per-bond results
+        are merged with ONE psum (disjoint live masks; an extra payload
+        row carries each device's amax in its own slot, making the psum
+        double as an all_gather for the max), and every device then runs
+        the SAME deterministic batched acceptance + corner repair +
+        reconstruction (engine jacobi_apply) — so the whole state stays
+        exactly replicated and no boundary fixup or tape replay is needed.
+        The distributed work is the hunting (the integrand evaluations,
+        the reference's own cost model, dmrgg.f90:120-131); per-sweep
+        traffic is 2 collectives like the sequential path."""
+        nb = d - 1
+        NLOT = 2 * (R + N)
+        me = jax.lax.axis_index(BOND_AXIS)
+        base = jnp.minimum(own_lo, nb - max_cnt).astype(jnp.int32)
+        idxs = base + jnp.arange(max_cnt)
+        live = (idxs >= own_lo) & (idxs < own_hi)
+        key, sub = jax.random.split(st.key)
+        U = jax.random.uniform(sub, (max_cnt, 2, NLOT), jnp.float64)
+        st = st._replace(key=key)
+
+        hunt, amax_l, neval_l, padded_l = jax.lax.cond(
+            (it % 2) == 1,
+            lambda a: kit.jacobi_hunt(a[0], a[1], True, a[2], max_cnt, a[3]),
+            lambda a: kit.jacobi_hunt(a[0], a[1], False, a[2], max_cnt, a[3]),
+            (st, U, base, live))
+
+        dt = st.amax.dtype
+        RN = R * N
+        W = 5 + 2 * RN
+        block = jnp.concatenate([
+            hunt["ii"][:, None].astype(dt), hunt["jj"][:, None].astype(dt),
+            hunt["kk"][:, None].astype(dt), hunt["qq"][:, None].astype(dt),
+            hunt["pivot"][:, None],
+            hunt["acol"].reshape(max_cnt, RN),
+            hunt["arow"].reshape(max_cnt, RN),
+        ], axis=1) * live[:, None].astype(dt)
+        rows = jax.lax.dynamic_update_slice(
+            jnp.zeros((nb, W), dt), block, (base, jnp.int32(0)))
+        extra = jnp.zeros((1, W), dt).at[0, me].set(amax_l)
+        TP = jax.lax.psum(jnp.concatenate([rows, extra], axis=0), BOND_AXIS)
+        hunt_full = dict(
+            ii=jnp.round(TP[:nb, 0]).astype(jnp.int_),
+            jj=jnp.round(TP[:nb, 1]).astype(jnp.int_),
+            kk=jnp.round(TP[:nb, 2]).astype(jnp.int_),
+            qq=jnp.round(TP[:nb, 3]).astype(jnp.int_),
+            pivot=TP[:nb, 4],
+            acol=TP[:nb, 5:5 + RN].reshape(nb, R, N),
+            arow=TP[:nb, 5 + RN:].reshape(nb, N, R),
+        )
+        amax_g = jnp.max(TP[nb, :ndev])
+        st = st._replace(amax=amax_g, neval=neval_l, padded=padded_l)
+        corner_count = (jnp.arange(nb) >= own_lo) & (jnp.arange(nb) < own_hi)
+        st = kit.jacobi_apply(st, hunt_full, corner_count)
+
+        sc = jnp.stack([
+            st.amax, st.pivotmax,
+            jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin),
+            (st.neval - kit.init_neval).astype(dt),
+            (st.padded - init_padded).astype(dt),
+        ])
+        G = jax.lax.all_gather(sc, BOND_AXIS)       # (ndev, 5)
+        pmin = jnp.min(G[:, 2])
+        st = st._replace(amax=jnp.max(G[:, 0]), pivotmax=jnp.max(G[:, 1]),
+                         pivotmin=jnp.where(jnp.isinf(pmin), -1.0, pmin),
+                         pivotmax_prev=jnp.max(G[:, 1]))
+        nev_tot = jnp.sum(G[:, 3]).astype(jnp.int64) + kit.init_neval
+        padded_tot = jnp.sum(G[:, 4]).astype(jnp.int64) + init_padded
+        return st, nev_tot, padded_tot
+
     def pvalue(st: CrossState, w, own_lo, own_hi):
         """Distributed quadrature value: per-device chain product over its
         authoritative cores, then a log2-depth stride-doubling product over
@@ -367,7 +439,8 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
 
             def body(carry):
                 st, it, strike, vals, pmax, nev, done = carry
-                st, nev_tot, padded_tot = psweep(st, it, own_lo, own_hi)
+                sweep1 = psweep_jacobi if cfg.jacobi else psweep
+                st, nev_tot, padded_tot = sweep1(st, it, own_lo, own_hi)
                 if with_quad:
                     vals = vals.at[it].set(pvalue(st, w, own_lo, own_hi))
                 pmax = pmax.at[it].set(st.pivotmax)
@@ -384,11 +457,16 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
             st, it, _, vals, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
 
             # gather authoritative cores -> replicated complete state
-            c_idx = jnp.arange(d)
-            authority = (c_idx >= own_lo) & (c_idx < own_hi)
-            authority = authority | ((c_idx == d - 1) & (me == ndev - 1))
-            cores = jax.lax.psum(
-                jnp.where(authority[:, None, None, None], st.cores, 0.0), BOND_AXIS)
+            # (jacobi mode keeps the whole state replicated — no gather)
+            if cfg.jacobi:
+                cores = st.cores
+            else:
+                c_idx = jnp.arange(d)
+                authority = (c_idx >= own_lo) & (c_idx < own_hi)
+                authority = authority | ((c_idx == d - 1) & (me == ndev - 1))
+                cores = jax.lax.psum(
+                    jnp.where(authority[:, None, None, None], st.cores, 0.0),
+                    BOND_AXIS)
             neval = jax.lax.psum(st.neval - kit.init_neval, BOND_AXIS) + kit.init_neval
             padded = (jax.lax.psum(st.padded - init_padded, BOND_AXIS)
                       + init_padded)
@@ -421,20 +499,28 @@ def cross_parallel(
     verbose: bool = False,
     mybonds=None,
     oversample: int = 0,
+    sweep_mode: str = "sequential",
 ) -> CrossResult:
     """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
     the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
     cross(); requires len(mesh devices) <= d-1.  mybonds optionally gives
     custom slab boundaries (ndev+1,), as dtt_dmrgg's mybonds argument.
     oversample: cross-and-round past the greedy fixed-rank ceiling, as in
-    cross() (the rounding runs replicated after the distributed cross)."""
+    cross() (the rounding runs replicated after the distributed cross).
+    sweep_mode: "sequential" (each device walks its slab bond-by-bond,
+    tape replay + boundary fixup) or "jacobi" (slab-level Jacobi — each
+    device hunts all its slab's bonds in a few batched integrand calls and
+    the acceptance runs replicated; the throughput mode for long chains)."""
     n = tuple(int(x) for x in n)
     d = len(n)
+    if sweep_mode not in ("sequential", "jacobi"):
+        raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
     if oversample:
         res = cross_parallel(fun, n, max_rank=max_rank + int(oversample),
                              accuracy=accuracy, pivoting=pivoting, quad=quad,
                              truth=truth, key=key, dtype=dtype, mesh=mesh,
-                             verbose=verbose, mybonds=mybonds)
+                             verbose=verbose, mybonds=mybonds,
+                             sweep_mode=sweep_mode)
         from ..cross.engine import round_and_revalue
 
         return round_and_revalue(res, max_rank, quad, truth)
@@ -442,7 +528,8 @@ def cross_parallel(
         mesh = bond_mesh()
     se, sp = precision_thresholds(dtype)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
-                      small_element=se, small_pivot=sp)
+                      small_element=se, small_pivot=sp,
+                      jacobi=sweep_mode == "jacobi")
     kit, make_run_fn = get_parallel_engine(fun, cfg, mesh, mybonds)
 
     if isinstance(key, int):
