@@ -273,3 +273,81 @@ def test_parallel_jacobi_matches_single_device_quality(rng):
     err_s = np.abs(np.asarray(tt.full(res_s.tt)) - dense).max()
     assert err_p < 1e-10
     assert err_s < 1e-10
+
+
+def test_parallel_maxvol_single_device_matches_sequential(rng):
+    """maxvol_refine_parallel on a 1-device mesh walks exactly the
+    sequential iteration (same init, same deterministic exchanges); its
+    cores come from the frozen-table emit pass, which must agree with
+    visit_rl's free cores up to solve roundoff.  The emit pass costs one
+    extra half-sweep of evaluations."""
+    from ttcross_tpu.cross.maxvol import maxvol_refine
+    from ttcross_tpu.parallel.maxvol import maxvol_refine_parallel
+
+    d, n, r = 4, 8, 3
+    cores = [rng.standard_normal((1 if c == 0 else r, n,
+                                  1 if c == d - 1 else r)) for c in range(d)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("bond",))
+    seq = maxvol_refine(fun, [n] * d, ranks=r, sweeps=2, key=7)
+    par = maxvol_refine_parallel(fun, [n] * d, ranks=r, sweeps=2, key=7,
+                                 mesh=mesh)
+    for cs, cp in zip(seq.tt.cores, par.tt.cores):
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cp),
+                                   atol=1e-9)
+    assert par.neval > seq.neval          # + the emit-core pass
+    assert par.padded_evals > seq.padded_evals
+    err = np.abs(np.asarray(tt.full(par.tt)) - dense).max()
+    assert err < 1e-10 * np.abs(dense).max()
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_parallel_maxvol_exact_recovery(rng, ndev):
+    """Slab-parallel maxvol (block-Jacobi across slab boundaries) still
+    recovers an exact-rank tensor to machine precision."""
+    from ttcross_tpu.parallel.maxvol import maxvol_refine_parallel
+
+    d, n, r = 6, 7, 3
+    cores = [rng.standard_normal((1 if c == 0 else r, n,
+                                  1 if c == d - 1 else r)) for c in range(d)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("bond",))
+    res = maxvol_refine_parallel(fun, [n] * d, ranks=r, sweeps=3, key=1,
+                                 mesh=mesh)
+    err = np.abs(np.asarray(tt.full(res.tt)) - dense).max()
+    assert err < 1e-10 * np.abs(dense).max(), err
+    assert res.ranks == (1,) + (r,) * (d - 1) + (1,)
+    assert res.neval > 0 and res.padded_evals >= res.neval
+
+
+def test_parallel_refine_sweeps_beats_greedy():
+    """cross_parallel(refine_sweeps=1) seeds the distributed maxvol with
+    the distributed greedy pivots and must not lose quality (the
+    sequential analogue gains ~1 digit on MVN, test_maxvol.py)."""
+    from ttcross_tpu.apps import make_mvn
+
+    prob = make_mvn(d=5, n=33)
+    quad = [prob.quad_weights] * prob.d
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("bond",))
+    g = cross_parallel(prob.fun, [prob.n] * prob.d, max_rank=10,
+                       pivoting=1, quad=quad, truth=prob.truth, key=3,
+                       mesh=mesh)
+    r = cross_parallel(prob.fun, [prob.n] * prob.d, max_rank=10,
+                       pivoting=1, quad=quad, truth=prob.truth, key=3,
+                       mesh=mesh, refine_sweeps=2)
+    assert r.neval > g.neval
+    assert r.history[-1].direction == "mv"
+    dg = -np.log10(g.errors[-1])
+    dr = -np.log10(r.errors[-1])
+    assert dr >= dg - 0.2, (dg, dr)
+    assert r.ranks == g.ranks

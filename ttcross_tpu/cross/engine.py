@@ -1713,18 +1713,28 @@ def cross(
     return res
 
 
-def _apply_refine(res: CrossResult, fun, n, refine_sweeps, quad, truth):
+def _apply_refine(res: CrossResult, fun, n, refine_sweeps, quad, truth,
+                  state=None, refine_fn=None):
     """Maxvol pivot-replacement post-pass (cross(refine_sweeps=k)): seed
     the alternating-maxvol refinement (cross/maxvol.py) with the greedy
     pivot sets and swap in the refined interpolant.  Telemetry: one 'mv'
-    history record per call, neval/padded_evals accumulate."""
+    history record per call, neval/padded_evals accumulate.
+
+    state: the final CrossState carrying the greedy pivots (defaults to
+    res.state); refine_fn: the refinement engine (defaults to the
+    sequential maxvol_refine — cross_parallel passes the distributed
+    one, parallel/maxvol.py, bound to its mesh)."""
     from ..utils.metrics import SweepRecord
     from .chains import pivot_index_sets
     from .maxvol import maxvol_refine
 
-    I, J = pivot_index_sets(res.state.vip, res.state.rk)
-    mv = maxvol_refine(fun, n, init_sets=(I, J), sweeps=int(refine_sweeps),
-                       quad=quad, truth=truth)
+    if state is None:
+        state = res.state
+    if refine_fn is None:
+        refine_fn = maxvol_refine
+    I, J = pivot_index_sets(state.vip, state.rk)
+    mv = refine_fn(fun, n, init_sets=(I, J), sweeps=int(refine_sweeps),
+                   quad=quad, truth=truth)
     res.tt = mv.tt
     res.ranks = mv.ranks
     res.neval += mv.neval

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass as _dataclass
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -114,8 +114,52 @@ def maxvol_select(M, row_mask, r_act, n_exchange: int = 8,
     return sel, B
 
 
+class MaxvolKit(NamedTuple):
+    """The refinement run plus its reusable per-bond kernels (the
+    distributed engine, parallel/maxvol.py, drives visit_lr / visit_rl
+    over bond slabs; all three kernels accept a traced bond id)."""
+
+    run: Callable
+    visit_lr: Callable
+    visit_rl: Callable
+    first_core: Callable
+    emit_core: Callable
+
+
+def masked_solve(S, M, r_act):
+    """X = inv(S_act) @ M_act for the active r_act x r_act block of S
+    (R, R) applied to M (R, K); padded rows of X are zero.  Partial-pivot
+    Gauss-Jordan on the augmented [S | M] — row swaps keep it stable and
+    the reduced system [I | X] is row-equivalent to [S | M], so X comes
+    out in the original index order.  SOLVE-FREE like maxvol_select
+    (XLA's LuDecomposition does not lower for f64 on this TPU)."""
+    R_, K = S.shape[0], M.shape[1]
+    rows = jnp.arange(R_)
+    aug = jnp.concatenate([S, M], axis=1)
+
+    def gj_step(t, aug):
+        live = t < r_act
+        score = jnp.where((rows >= t) & (rows < r_act),
+                          jnp.abs(aug[:, t]), -1.0)
+        p = jnp.argmax(score)
+        rt = aug[t]
+        rp = aug[p]
+        aug = aug.at[t].set(jnp.where(live, rp, rt))
+        aug = aug.at[p].set(jnp.where(live, rt, rp))
+        piv = aug[t, t]
+        piv = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
+        row = aug[t] / piv
+        factor = jnp.where((rows != t) & (rows < r_act), aug[:, t], 0.0)
+        aug2 = aug - jnp.outer(factor, row)
+        aug2 = aug2.at[t].set(row)
+        return jnp.where(live, aug2, aug)
+
+    aug = jax.lax.fori_loop(0, R_, gj_step, aug)
+    return jnp.where(rows[:, None] < r_act, aug[:, R_:], 0.0)
+
+
 def _refine_engine(fun: Callable, n: tuple, R: int, n_exchange: int,
-                   tol: float):
+                   tol: float) -> "MaxvolKit":
     """Build the jitted multi-sweep refinement run: (LI, RJ, rr,
     n_sweeps) -> (cores, LI, RJ, neval, padded).  LI/RJ (d-1, R, d) are
     the left/right pivot multi-index tables (LI[b, t, :b+1] and
@@ -196,6 +240,40 @@ def _refine_engine(fun: Callable, n: tuple, R: int, n_exchange: int,
         core = B.T.reshape(R, N, R)           # inv(S_b) M, cols (k, q)
         return RJ, core, neval, padded
 
+    def emit_core(b, LI, RJ, rr, neval, padded):
+        """Core b+1 = inv(S_b) A(I_b, n_{b+1} x J_{b+1}) from FROZEN
+        index tables: S_b = A(I_b, J_b), both evaluated in one batched
+        call, then a masked Gauss-Jordan solve.  Exact for arbitrary
+        frozen sets (the CUR-chain identity needs no nestedness), which
+        is what the slab-parallel refinement needs — during its sweeps a
+        boundary bond's visit_rl reads the neighbour slab's PREVIOUS
+        column set, so the free cores visit_rl emits are inconsistent
+        across slabs; a final emit_core pass over the merged tables
+        restores exactness (parallel/maxvol.py)."""
+        li = jax.lax.dynamic_index_in_dim(LI, b, 0, keepdims=False)  # (R, d)
+        rj_n = jax.lax.dynamic_index_in_dim(RJ, jnp.minimum(b + 1, d - 2),
+                                            0, keepdims=False)
+        rj_n = jnp.where(b < d - 2, rj_n, jnp.zeros_like(rj_n))
+        suf = jnp.repeat(rj_n[None, :, :], N, axis=0).reshape(N * R, d)
+        k = jnp.repeat(iN, R)
+        suf = jnp.where(col[None, :] == b + 1, k[:, None],
+                        suf).astype(jnp.int32)
+        rj_b = jax.lax.dynamic_index_in_dim(RJ, b, 0, keepdims=False)
+        cand = jnp.concatenate([suf, rj_b.astype(jnp.int32)], axis=0)
+        ind = jnp.where(col[None, None, :] <= b, li[:, None, :],
+                        cand[None, :, :])               # (R, N*R + R, d)
+        vals = fun(ind.reshape(-1, d).astype(jnp.int32)).reshape(
+            R, N * R + R)
+        r_r = jnp.where(b < d - 2, rr[jnp.minimum(b + 1, d - 2)], 1)
+        rowm = iR < rr[b]
+        colm_k = (jnp.repeat(iN, R) < n_arr[b + 1]) & (jnp.tile(iR, N) < r_r)
+        M = jnp.where(rowm[:, None] & colm_k[None, :], vals[:, : N * R], 0.0)
+        S = jnp.where(rowm[:, None] & rowm[None, :], vals[:, N * R:], 0.0)
+        neval = neval + (rr[b] * (n_arr[b + 1] * r_r + rr[b])).astype(jnp.int64)
+        padded = padded + jnp.asarray(R * (N * R + R), jnp.int64)
+        X = masked_solve(S, M, rr[b])
+        return X.reshape(R, N, R), neval, padded
+
     def first_core(RJ, rr, neval, padded):
         """Core 0 = A(grid_0, J_0) — raw fiber values (N, R)."""
         rj = RJ[0]                                             # (R, d)
@@ -245,7 +323,8 @@ def _refine_engine(fun: Callable, n: tuple, R: int, n_exchange: int,
             cores, firstc[None, :, :][None], (0, 0, 0, 0))
         return cores, LI, RJ, neval, padded
 
-    return run
+    return MaxvolKit(run=run, visit_lr=visit_lr, visit_rl=visit_rl,
+                     first_core=first_core, emit_core=emit_core)
 
 
 _MV_CACHE: dict = {}
@@ -348,7 +427,7 @@ def maxvol_refine(fun, n: Sequence[int], ranks=None, init_sets=None,
     if np.any(rr > R):
         raise ValueError(f"ranks {rr.max()} exceed the padding R={R}")
 
-    run = _get_refine_engine(fun, n, R, n_exchange, tol)
+    run = _get_refine_engine(fun, n, R, n_exchange, tol).run
     args = (jnp.asarray(LI), jnp.asarray(RJ), jnp.asarray(rr),
             jnp.asarray(int(sweeps), jnp.int32))
     from . import export_cache

@@ -500,6 +500,7 @@ def cross_parallel(
     mybonds=None,
     oversample: int = 0,
     sweep_mode: str = "sequential",
+    refine_sweeps: int = 0,
 ) -> CrossResult:
     """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
     the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
@@ -510,11 +511,17 @@ def cross_parallel(
     sweep_mode: "sequential" (each device walks its slab bond-by-bond,
     tape replay + boundary fixup) or "jacobi" (slab-level Jacobi — each
     device hunts all its slab's bonds in a few batched integrand calls and
-    the acceptance runs replicated; the throughput mode for long chains)."""
+    the acceptance runs replicated; the throughput mode for long chains).
+    refine_sweeps: k distributed maxvol pivot-replacement sweeps after the
+    greedy cross (parallel/maxvol.py on the same mesh), as
+    cross(refine_sweeps=k)."""
     n = tuple(int(x) for x in n)
     d = len(n)
     if sweep_mode not in ("sequential", "jacobi"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
+    if oversample and refine_sweeps:
+        raise ValueError("refine_sweeps and oversample are mutually "
+                         "exclusive refinements")
     if oversample:
         res = cross_parallel(fun, n, max_rank=max_rank + int(oversample),
                              accuracy=accuracy, pivoting=pivoting, quad=quad,
@@ -594,7 +601,7 @@ def cross_parallel(
             print(line)
 
     tt = finalize(st, cfg, kit)
-    return CrossResult(
+    res = CrossResult(
         tt=tt, neval=int(st.neval), sweeps=last_it,
         ranks=tuple(int(x) for x in np.asarray(st.rk)),
         values=values, errors=errors,
@@ -603,3 +610,15 @@ def cross_parallel(
         history=history,
         padded_evals=int(st.padded),
     )
+    if refine_sweeps:
+        import functools
+
+        from ..cross.engine import _apply_refine
+        from .maxvol import maxvol_refine_parallel
+
+        res = _apply_refine(
+            res, fun, n, refine_sweeps, quad, truth, state=st,
+            refine_fn=functools.partial(maxvol_refine_parallel, mesh=mesh,
+                                        mybonds=mybonds))
+        res.time = time.perf_counter() - t0
+    return res
