@@ -77,3 +77,55 @@ def test_defect_corrected_on_mesh():
         mesh=bond_mesh(jax.devices()[:2]))
     digits = _digits(hi, lo, ISING_C_STR[4])
     assert digits >= 16, digits
+
+
+def test_qd_integrand_matches_mp(rng):
+    """qd Ising integrand == mpmath integrand to ~1e-55 (the noise floor
+    that makes the third defect level pay off)."""
+    from mpmath import workdps
+
+    from ttcross_tpu.apps.ising import make_ising_mp, make_ising_qd
+    from ttcross_tpu.ops.qd import qd_to_mp
+
+    prob, fun_qd, wq = make_ising_qd(m=4, n=17)
+    _, _, fun_mp, _, _ = make_ising_mp("C", m=4, n=17, dps=80)
+    ind = rng.integers(0, prob.n, size=(12, prob.d))
+    got = fun_qd(ind)
+    want = fun_mp(ind)
+    with workdps(80):
+        for b in range(12):
+            g = qd_to_mp(float(np.asarray(got.e0)[b]),
+                         float(np.asarray(got.e1)[b]),
+                         float(np.asarray(got.e2)[b]),
+                         float(np.asarray(got.e3)[b]))
+            rel = abs(1 - g / want[b])
+            assert float(rel) < 1e-55, (b, float(rel))
+
+
+@pytest.mark.slow
+def test_defect_corrected_qd_c4_beyond_dd():
+    """Ising C_4 THREE-level qd defect correction at FULL second-level
+    rank: >= 31 correct digits — past the dd ENGINE's ~31-digit
+    evaluation floor, with every cross still in the plain f64 engine.
+
+    The defect of an f64 train is noise-like (the cores' f64 rounding is
+    effectively full-rank), so the correction levels only bite at
+    (near-)full rank: for C_4 (d=3, n=33) max_rank2=33 IS full rank and
+    measures 33.7 digits, while max_rank2=30 — only three ranks short —
+    collapses to 22.0.  The n=17 rule caps at ~17.8 digits, so n=33 is
+    the smallest standard config for this test (rule error at n=33
+    supports >= 50, test_engine_mp)."""
+    from mpmath import mp, mpf, workdps
+
+    from ttcross_tpu.apps.ising import make_ising_qd
+    from ttcross_tpu.cross.defect import cross_defect_corrected_qd
+    from ttcross_tpu.ops.qd import qd_to_mp
+
+    prob, fun_qd, wq = make_ising_qd(m=4, n=33)
+    limbs, info = cross_defect_corrected_qd(
+        prob.fun, fun_qd, [prob.n] * prob.d, wq,
+        max_rank=16, max_rank2=33, levels=3)
+    with workdps(75):
+        rel = abs(1 - qd_to_mp(*limbs) / mpf(ISING_C_STR[4]))
+        digits = float(-mp.log10(rel)) if rel != 0 else 75.0
+    assert digits >= 31, (digits, info["ranks"])

@@ -151,6 +151,81 @@ def make_ising_dd(m: int = 6, n: int = 65):
     return prob, fun_dd, weights_hi, weights_lo
 
 
+def ising_c_integrand_qd(ind, nodes_qd, weights_qd):
+    """C-kind Ising integrand in quad-double arithmetic (~62 digits): the
+    qd twin of ising_c_integrand_dd for the three-level defect pipeline
+    (cross/defect.py) — same telescoping prefix/suffix product sums, qd
+    scans.  Returns QD (B,)."""
+    from ..ops.qd import QD, qd, qd_add, qd_div, qd_mul
+
+    xp = jnp if isinstance(ind, jax.Array) else np   # numpy host tier OK
+    ind = xp.asarray(ind)
+    B, d = ind.shape
+    xt = QD(*(xp.asarray(e)[ind] for e in nodes_qd))         # (B, d) limbs
+
+    # unrolled over the (small) mode count: a lax.scan of qd ops nested
+    # inside the engine's fused while_loop made XLA CPU compilation of
+    # the defect-level cross minutes-long; unrolling keeps the graph
+    # linear in d and compiles ~10x faster
+    def cum_sum_of_prods(x):
+        pk = qd(xp.ones(B))
+        s = qd(xp.ones(B))
+        for c in range(d):
+            pk = qd_mul(pk, QD(*(e[:, c] for e in x)))
+            s = qd_add(s, pk)
+        return s
+
+    w_sum = cum_sum_of_prods(xt)
+    v_sum = cum_sum_of_prods(QD(*(e[:, ::-1] for e in xt)))
+    b = qd_div(qd(xp.full(B, 2.0)), qd_mul(v_sum, w_sum))
+
+    gt = QD(*(xp.asarray(e)[ind] for e in weights_qd))
+    prodw = qd(xp.ones(B))
+    for c in range(d):
+        prodw = qd_mul(prodw, QD(*(e[:, c] for e in gt)))
+    return qd_mul(b, prodw)
+
+
+def make_ising_qd(m: int = 6, n: int = 65, dps: int = 80):
+    """Ising C_m problem with quad-double quadrature data (mp_lgwt rule
+    split into four limbs): returns (prob_f64, fun_qd, weights_qd) for
+    the three-level defect pipeline.  The f64 problem's nodes/weights are
+    the leading limbs so TT1 approximates the same qd-sampled tensor to
+    f64 (the defect then sits at ~1e-14 |A|)."""
+    from ..ops.mp import mp_lgwt
+    from ..ops.qd import QD, qd, qd_from_mp
+
+    if n % 2 == 0:
+        n += 1
+    d = m - 1
+    from mpmath import mpf, workdps
+
+    with workdps(dps):
+        x, w = mp_lgwt(n, dps)
+        val = n // 2
+        Xl = np.array([qd_from_mp((xi + 1) / 2) for xi in x])    # (n, 4)
+        Wl = np.array([qd_from_mp(wi * mpf(val) / 2) for wi in w])
+    Xn = QD(*(jnp.asarray(Xl[:, i]) for i in range(4)))
+    Wn = QD(*(jnp.asarray(Wl[:, i]) for i in range(4)))
+
+    nodes = np.asarray(Xl[:, 0])
+    weights = np.asarray(Wl[:, 0])
+    quad_weights = np.full(n, 1.0 / val)    # 1/(n//2) is exact in f64
+    from .truths import ising_truth
+
+    prob = IsingProblem(kind="C", m=m, d=d, n=n, nodes=nodes,
+                        weights=weights, quad_weights=quad_weights,
+                        truth=ising_truth("C", m))
+
+    def fun_qd(ind):
+        return ising_c_integrand_qd(ind, Xn, Wn)
+
+    with workdps(dps):
+        wq = np.array([qd_from_mp(mpf(1) / val)] * n)        # (n, 4) exact
+    weights_qd = [QD(*(jnp.asarray(wq[:, i]) for i in range(4)))] * d
+    return prob, fun_qd, weights_qd
+
+
 def make_ising_mp(kind: str = "C", m: int = 4, n: int = 33, dps: int = 120):
     """Ising problem at arbitrary precision (the test_mpf_ising role,
     README.md:52, data plane of mptt_dmrgg): mp Gauss-Legendre rule on
