@@ -48,3 +48,11 @@ def test_crs_ising_driver():
     out = run_driver("crs_ising.py", "c", 3, 33, 6, 1)
     digits = float(out.rsplit("correct digits:", 1)[1].split()[0])
     assert digits >= 6
+
+
+def test_crs_ising_qde_driver():
+    """qd-engine driver smoke: C_4 n=17 rank 10 crosses in ~1 s of engine
+    time and must beat the n=17 rule floor region (measured 12.4)."""
+    out = run_driver("crs_ising_qde.py", 4, 17, 10, 1, timeout=300)
+    digits = float(out.rsplit("correct digits:", 1)[1].split()[0])
+    assert digits >= 11, out

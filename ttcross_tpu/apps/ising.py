@@ -205,8 +205,13 @@ def make_ising_qd(m: int = 6, n: int = 65, dps: int = 80):
         val = n // 2
         Xl = np.array([qd_from_mp((xi + 1) / 2) for xi in x])    # (n, 4)
         Wl = np.array([qd_from_mp(wi * mpf(val) / 2) for wi in w])
-    Xn = QD(*(jnp.asarray(Xl[:, i]) for i in range(4)))
-    Wn = QD(*(jnp.asarray(Wl[:, i]) for i in range(4)))
+    # limb tables stay HOST numpy: a jnp.asarray here would land them on
+    # the default device, where the f32-pair f64 emulation corrupts the
+    # ~1e-33/1e-50 low limbs (exponent range) and every host-tier eval
+    # would pay a device->host fetch; the traced path converts at trace
+    # time instead
+    Xn = QD(*(np.ascontiguousarray(Xl[:, i]) for i in range(4)))
+    Wn = QD(*(np.ascontiguousarray(Wl[:, i]) for i in range(4)))
 
     nodes = np.asarray(Xl[:, 0])
     weights = np.asarray(Wl[:, 0])
@@ -222,7 +227,7 @@ def make_ising_qd(m: int = 6, n: int = 65, dps: int = 80):
 
     with workdps(dps):
         wq = np.array([qd_from_mp(mpf(1) / val)] * n)        # (n, 4) exact
-    weights_qd = [QD(*(jnp.asarray(wq[:, i]) for i in range(4)))] * d
+    weights_qd = [QD(*(np.ascontiguousarray(wq[:, i]) for i in range(4)))] * d
     return prob, fun_qd, weights_qd
 
 

@@ -276,14 +276,26 @@ def qd_vdot_axis(a: QD, v: QD, axis: int) -> QD:
 
 
 def qd_matmul(a: QD, b: QD) -> QD:
-    """(m, k) @ (k, n) in qd (compensated pairwise-summed inner axis)."""
-    a3 = QD(*(e[:, :, None] for e in a))
-    b3 = QD(*(e[None, :, :] for e in b))
-    xp = _ns(a.e0)
-    shape = (a.e0.shape[0], a.e0.shape[1], b.e0.shape[1])
-    prod = qd_mul(QD(*(xp.broadcast_to(e, shape) for e in a3)),
-                  QD(*(xp.broadcast_to(e, shape) for e in b3)))
-    return qd_sum(prod, axis=1)
+    """(m, k) @ (k, n) in qd.
+
+    Accumulates rank-1 terms over the inner axis instead of materializing
+    the (m, k, n) broadcast: a qd_mul is ~130 elementwise passes, so the
+    broadcast formulation moves m*k*n*4 f64 through memory ~130 times —
+    at the cross engine's core-solve shapes (r, r) @ (r, n*r) that was
+    the single hottest spot of a whole cross (profiled ~80% of wall).
+    The k-loop does the same flops on (m, n)-sized temporaries (each
+    qd_add merge is an error-free distill, so accumulation order only
+    moves the ~1e-64 tail)."""
+    m, k = a.e0.shape
+    n = b.e0.shape[1]
+    acc = None
+    for t in range(k):
+        term = qd_mul(QD(*(e[:, t, None] for e in a)),
+                      QD(*(e[None, t, :] for e in b)))
+        acc = term if acc is None else qd_add(acc, term)
+    if acc is None:
+        return qd_zeros((m, n), _ns(a.e0))
+    return acc
 
 
 def qd_mag10(x: QD):
