@@ -188,6 +188,31 @@ def main():
     except Exception as e:  # the dd tier needs the native toolchain
         _emit({"metric": "ising_c4_dd_tier", "skipped": repr(e)[:120]})
 
+    # ---- config 5c: quad-double ENGINE tier — stdnorm to ~62 digits
+    # (cross/engine_qd.py; pure host numpy, no device work: the ~60-digit
+    # point on the multiprecision ladder, between dd ~31 and mpmath 120)
+    try:
+        from mpmath import mp as _mp, mpf as _mpf, workdps as _workdps
+
+        from ttcross_tpu.apps.stdnorm import make_stdnorm_qd
+        from ttcross_tpu.cross.engine_qd import cross_qd
+        from ttcross_tpu.ops.qd import qd_to_mp
+
+        prob_qd, fun_qd, wq = make_stdnorm_qd(d=4, n=201)
+        t0 = time.time()
+        rqd = cross_qd(fun_qd, [prob_qd.n] * prob_qd.d, max_rank=4, quad=wq)
+        el = time.time() - t0
+        with _workdps(80):
+            got = qd_to_mp(*(np.asarray(e) for e in rqd.value))
+            rel = abs(1 - got / _mp.pi ** _mpf(2))     # truth pi^(d/2), d=4
+            qd_digits = float(-_mp.log10(rel)) if rel != 0 else 80.0
+        _emit({"metric": "stdnorm_d4_qd_engine",
+               "correct_digits": round(qd_digits, 2),
+               "n_evals": int(rqd.neval), "wall_time_s": round(el, 3),
+               "evals_per_sec": round(rqd.neval / el, 1)})
+    except Exception as e:
+        _emit({"metric": "stdnorm_d4_qd_engine", "skipped": repr(e)[:120]})
+
     # ---- config 4: the north star, greedy (reference CLI C 6 64 24 1)
     prob = make_ising("C", m=6, n=64)
     args = dict(max_rank=24, accuracy=acc, pivoting=1,

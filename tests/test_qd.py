@@ -89,6 +89,31 @@ def test_qd_sum_dot_vs_mpmath(rng):
                                 float(d.e3)), want) < mpf("1e-58")
 
 
+def test_qd_exp_vs_mpmath(rng):
+    """qd_exp matches mpmath exp to ~2e-62 wherever all four result limbs
+    are normal (|exp(x)| >= ~1e-260); saturates to 0/inf outside the f64
+    range."""
+    from ttcross_tpu.ops.qd import qd_exp
+
+    xs = np.concatenate([rng.uniform(-500, 5, 40), rng.uniform(-3, 3, 40),
+                         [0.0, -650.0, 700.0, -710.0, 710.0]])
+    x = qd(xs)
+    x = QD(x.e0, x.e0 * 1e-17 * rng.standard_normal(len(xs)), x.e1, x.e3)
+    y = qd_exp(x)
+    with workdps(90):
+        for i in range(len(xs)):
+            want = mpmath.exp(_to_mp(x, i))
+            got = _to_mp(y, i)
+            if xs[i] < -708:
+                assert got == 0
+            elif xs[i] > 709:
+                assert float(y.e0[i]) == float("inf")
+            elif xs[i] > -590:          # all four limbs normal
+                assert _relerr(got, want) < mpf("5e-61"), (xs[i],)
+            else:                        # subnormal-limb taper, still f64-true
+                assert _relerr(got, want) < mpf("1e-15"), (xs[i],)
+
+
 def test_qd_from_string_roundtrip():
     with workdps(90):
         s = "3.14159265358979323846264338327950288419716939937510582097494"

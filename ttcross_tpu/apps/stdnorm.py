@@ -15,6 +15,7 @@ import numpy as np
 from ..ops.quadrature import lgwt, map_to_interval
 
 __all__ = ["StdnormProblem", "make_stdnorm", "make_stdnorm_dd",
+           "make_stdnorm_qd",
            "stdnorm_integrand_dd"]
 
 
@@ -80,3 +81,44 @@ def make_stdnorm_dd(d: int = 6, n: int = 65, a: float = -10.0, b: float = 10.0):
     weights_hi = [np.asarray(Wn.hi)] * d
     weights_lo = [np.asarray(Wn.lo)] * d
     return prob, fun_dd, weights_hi, weights_lo
+
+
+def make_stdnorm_qd(d: int = 4, n: int = 201, a: float = -12.5,
+                    b: float = 12.5, dps: int = 80):
+    """stdnorm problem with quad-double quadrature data for the qd cross
+    engine (cross/engine_qd.py): returns (prob_f64, fun_qd, weights_qd).
+
+    The default box is WIDER than the reference's [-10, 10]
+    (test_crs_stdnorm.f90:100-107) because the box itself truncates the
+    Gaussian: int_{|x|>10} exp(-x^2) ~ 2e-45 caps any rule at ~44.7
+    digits vs the pi^(d/2) truth, while [-12.5, 12.5] pushes that to
+    ~6e-70 — below qd noise (n=201 GL reaches the same; measured).
+    Limb tables stay host numpy (see make_ising_qd)."""
+    from ..ops.mp import mp_lgwt
+    from ..ops.qd import QD, qd_exp, qd_from_mp, qd_mul, qd_neg, qd_sum
+    from mpmath import mpf, workdps
+
+    if n % 2 == 0:
+        n += 1
+    with workdps(dps):
+        x, w = mp_lgwt(n, dps)
+        hl = (mpf(b) - mpf(a)) / 2
+        mid = (mpf(b) + mpf(a)) / 2
+        Xl = np.array([qd_from_mp(hl * xi + mid) for xi in x])     # (n, 4)
+        Wl = np.array([qd_from_mp(wi * hl) for wi in w])
+    Xn = QD(*(np.ascontiguousarray(Xl[:, i]) for i in range(4)))
+    Wn = QD(*(np.ascontiguousarray(Wl[:, i]) for i in range(4)))
+
+    prob = StdnormProblem(d=d, n=n, nodes=np.asarray(Xl[:, 0]),
+                          quad_weights=np.asarray(Wl[:, 0]),
+                          truth=float(np.pi) ** (d / 2))
+
+    def fun_qd(ind):
+        xp = jnp if not isinstance(ind, np.ndarray) else np
+        ind = xp.asarray(ind)
+        x = QD(*(xp.asarray(e)[ind] for e in Xn))                  # (B, d)
+        s = qd_sum(qd_mul(x, x), axis=1)
+        return qd_exp(qd_neg(s))
+
+    weights_qd = [Wn] * d
+    return prob, fun_qd, weights_qd

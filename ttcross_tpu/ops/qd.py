@@ -38,7 +38,7 @@ __all__ = ["QD", "qd", "qd_add", "qd_sub", "qd_neg", "qd_abs", "qd_mul",
            "qd_to_dd", "qd_to_float", "qd_from_string", "qd_to_string",
            "qd_gather_tt", "qd_contract", "qd_from_mp", "qd_to_mp",
            "qd_zeros", "qd_get", "qd_concat", "qd_vdot_axis", "qd_matmul",
-           "qd_mag10", "qd_tt_value"]
+           "qd_mag10", "qd_tt_value", "qd_exp"]
 
 
 class QD(NamedTuple):
@@ -240,6 +240,68 @@ def qd_to_string(x: QD, dps: int = 65) -> str:
 
     with workdps(dps):
         return mp.nstr(qd_to_mp(*(np.asarray(e) for e in x)), dps)
+
+
+# ------------------------------------------------------------- qd exp
+
+_EXP_CONSTS = None
+
+
+def _exp_consts():
+    global _EXP_CONSTS
+    if _EXP_CONSTS is None:
+        from mpmath import mp, mpf, workdps
+
+        with workdps(80):
+            ln2 = qd_from_mp(mp.log(2))
+            inv_fact = [qd_from_mp(mpf(1) / mp.factorial(k))
+                        for k in range(2, 20)]
+        _EXP_CONSTS = (ln2, inv_fact)
+    return _EXP_CONSTS
+
+
+def qd_exp(x: QD) -> QD:
+    """Quad-double exponential, elementwise over any shape (the qd
+    extension of ops.dd.dd_exp — MPFUN's mp exp role, enabling qd
+    integrands like exp(-sum x^2) in the qd cross engine).
+
+    Scheme (the qd-library one): range-reduce x = k ln2 + r, scale r by
+    2^-9 (exact), Horner the 1/k! Taylor tail at qd precision, square 9
+    times, ldexp by k.  Measured max relative error ~2e-62 for results
+    with |exp(x)| >= ~1e-260; below that the low limbs go subnormal and
+    precision tapers to the f64 floor (a representation limit: e3 sits
+    ~1e-48 under e0).  Host/CPU accurate like all qd ops; saturates at
+    the f64 range (host tier — the traced/device path is degraded
+    anyway, see module doc)."""
+    xp = _ns(x.e0)
+    ln2, inv_fact = _exp_consts()
+    k = xp.round(x.e0 / ln2[0])
+    ln2q = QD(*(xp.full_like(x.e0, c) for c in ln2))
+    r = qd_sub(x, qd_mul(qd(k), ln2q))
+    scale = 1.0 / 512.0
+    r = QD(r.e0 * scale, r.e1 * scale, r.e2 * scale, r.e3 * scale)  # exact
+    p = QD(*(xp.full_like(x.e0, c) for c in inv_fact[-1]))
+    for c4 in reversed(inv_fact[:-1]):
+        p = qd_add(qd_mul(p, r), QD(*(xp.full_like(x.e0, c) for c in c4)))
+    p = qd_mul(qd_mul(p, r), r)          # sum_{k>=2} r^k / k!
+    p = qd_add(p, r)
+    s = qd_add(p, qd(xp.ones_like(x.e0)))
+    for _ in range(9):
+        s = qd_mul(s, s)
+    if xp is np:
+        with np.errstate(over="ignore"):   # saturated lanes clamp below
+            pow2 = np.ldexp(np.ones_like(x.e0), k.astype(np.int64))
+    else:                                # jnp.ldexp does not lower on TPU
+        from .dd import _exact_pow2
+
+        pow2 = _exact_pow2(k)
+    out = QD(s.e0 * pow2, s.e1 * pow2, s.e2 * pow2, s.e3 * pow2)  # exact
+    floor, ceil = -708.0, 709.0          # binary64 exp(x) range
+    z = xp.zeros_like(x.e0)
+    sat = (x.e0 < floor) | (x.e0 > ceil)
+    e0 = xp.where(x.e0 < floor, z, xp.where(x.e0 > ceil, xp.inf, out.e0))
+    return QD(e0, xp.where(sat, z, out.e1), xp.where(sat, z, out.e2),
+              xp.where(sat, z, out.e3))
 
 
 # ------------------------------------------------- ragged-array helpers
