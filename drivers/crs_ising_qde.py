@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Very-high-precision Ising C_m with the quad-double ENGINE:
-`crs_ising_qde.py INDEX N RANK PIV`.
+`crs_ising_qde.py INDEX N RANK PIV WORKERS`.
+
+WORKERS > 1 runs the bond-slab-distributed qd cross over forked host
+worker processes (parallel/engine_qd.py — the qd rendering of
+mptt_dmrgg's MPI mode, dmrggmp.f90:518-629).
 
 The ~62-digit point on the mptt_dmrgg tier ladder (the reference's
 test_mpf_ising role, README.md:52): the full cross — every fiber,
@@ -48,12 +52,22 @@ def main():
     n = readarg(2, 65)
     rank = readarg(3, 33)
     piv = readarg(4, 1)
+    workers = readarg(5, 1)
 
     prob, fun_qd, wq = make_ising_qd(m=m, n=n)
     print_config(integral=f"C_{m}", quadratur=prob.n, TT_ranks=rank,
-                 tier="quad-double engine")
-    res = cross_qd(fun_qd, [prob.n] * prob.d, max_rank=rank, pivoting=piv,
-                   quad=wq, truth=ISING_C_STR.get(m), verbose=True)
+                 tier="quad-double engine", workers=workers)
+    if workers > 1:
+        from ttcross_tpu.parallel.engine_qd import cross_qd_parallel
+
+        res = cross_qd_parallel(fun_qd, [prob.n] * prob.d, max_rank=rank,
+                                pivoting=piv, quad=wq,
+                                truth=ISING_C_STR.get(m), verbose=True,
+                                n_workers=workers)
+    else:
+        res = cross_qd(fun_qd, [prob.n] * prob.d, max_rank=rank,
+                       pivoting=piv, quad=wq, truth=ISING_C_STR.get(m),
+                       verbose=True)
     print(f"computed value: {qd_to_string(res.value, 65)}")
     print(f"...with {res.neval} qd evaluations, ranks {res.ranks}")
     if m in ISING_C_STR:
