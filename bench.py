@@ -32,6 +32,47 @@ import numpy as np
 
 NOMINAL_REF_EVALS_PER_SEC = 1.0e6
 PROBE_TIMEOUT_S = 1500
+TPU_ALIVE_TIMEOUT_S = 300
+
+
+def tpu_alive():
+    """Probe TPU device enumeration in a KILLABLE subprocess.
+
+    The axon tunnel can wedge so that `jax.devices()` blocks forever (no
+    error, no timeout) — observed live 2026-08-17.  A hung parent means NO
+    bench artifact at all, so enumeration is probed out-of-process with a
+    hard timeout, twice (the second attempt gives a transiently-degraded
+    tunnel ~10 min total to come back).  Returns False only if both probes
+    fail; the caller then forces the CPU backend and flags every emitted
+    line with tpu_fallback=true rather than producing nothing."""
+    code = "import jax; print(jax.devices()[0].platform, flush=True)"
+    tmo = float(os.environ.get("TTCROSS_TPU_ALIVE_TIMEOUT", TPU_ALIVE_TIMEOUT_S))
+    for attempt in range(2):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=tmo)
+            if proc.returncode == 0 and proc.stdout.strip():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        _emit({"metric": "tpu_alive_probe", "attempt": attempt, "ok": False})
+    return False
+
+
+def _force_cpu_backend():
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=1")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            xla_bridge._clear_backends()
+    except Exception:
+        pass
 
 
 def _emit(obj):
@@ -98,11 +139,19 @@ def _timed(fn):
 
 
 def main():
+    # 0) watchdog: is the TPU tunnel answering device enumeration at all?
+    #    (a wedged tunnel hangs jax.devices() forever — fall back to CPU
+    #    with an honest flag instead of hanging the whole bench)
+    fallback = not tpu_alive()
+    if fallback:
+        _force_cpu_backend()
+
     # 1) fresh-process warmup probes FIRST (this process must not have
-    #    dispatched to the TPU yet — one TPU process at a time)
+    #    dispatched to the TPU yet — one TPU process at a time); pointless
+    #    on a dead tunnel (each child would burn its full 1500 s timeout)
     warm_med = warm_tail = None
     probe_failures = 0
-    if int(os.environ.get("TTCROSS_BENCH_WARMUP_K", "3")) > 0:
+    if not fallback and int(os.environ.get("TTCROSS_BENCH_WARMUP_K", "3")) > 0:
         warm_med, warm_tail, probe_failures = run_warmup_probes()
 
     import ttcross_tpu  # noqa: F401  (x64)
@@ -130,6 +179,8 @@ def main():
         }
         if res.padded_evals:
             out["padded_ratio"] = round(res.padded_evals / res.neval, 2)
+        if fallback:
+            out["tpu_fallback"] = True
         out.update(extras or {})
         _emit(out)
         return out
@@ -265,6 +316,10 @@ def main():
         "padded_evals": int(res.padded_evals),
         "padded_ratio": round(res.padded_evals / res.neval, 2),
     }
+    if fallback:
+        # honest flag: the tunnel was down at bench time; these are CPU
+        # numbers, NOT the TPU headline (see BENCH_NOTES for TPU envelopes)
+        out["tpu_fallback"] = True
     _emit(out)
     return 0
 

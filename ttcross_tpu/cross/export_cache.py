@@ -88,12 +88,26 @@ def _fingerprint(fun, cfg) -> str:
     return hashlib.sha256(vals.tobytes()).hexdigest()[:16]
 
 
+def _module_hash(modules) -> str:
+    h = hashlib.sha256()
+    for mod in modules:
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
-                   accuracy, example_args, kind: str = "full"):
+                   accuracy, example_args, kind: str = "full",
+                   extra_src_modules=()):
     """Return a callable equivalent to full_fn, backed by the on-disk
     export cache.  example_args: concrete arguments used for export
     tracing on a miss.  kind distinguishes executables that share the same
-    config (the fused full run vs a chunk's run_fn)."""
+    config (the fused full run vs a chunk's run_fn).
+
+    extra_src_modules: modules OUTSIDE the engine set of _source_hash whose
+    code is traced into THIS artifact (e.g. cross.maxvol for the refine
+    executable) — hashed into the key per-call so an edit there invalidates
+    only its own artifacts, not the warm engine executables."""
     import jax
     from jax import export
 
@@ -114,7 +128,7 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
             _source_hash(), _fingerprint(fun, cfg), repr(cfg),
             f"{kind}:{max_sweeps}:{with_quad}:{accuracy}",
             jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
-        ])
+        ] + ([_module_hash(extra_src_modules)] if extra_src_modules else []))
         path = os.path.join(
             _cache_dir(), hashlib.sha256(key.encode()).hexdigest()[:24] + ".bin")
         if os.path.exists(path):
