@@ -131,3 +131,23 @@ def test_ising_c6_oversample_headline():
     digits = -np.log10(res.errors[-1])
     assert digits >= 13.5, digits
     assert res.neval <= 210000, res.neval
+
+
+def test_refine_fast_path_matches_state_path():
+    """refine_sweeps must NOT force the engine off the fused fast path:
+    the packed output carries vip, and seeding the refinement from it
+    gives the identical result to the full-state (return_state=True)
+    route (same pivots -> bit-identical refined train)."""
+    from ttcross_tpu.apps import make_mvn
+
+    prob = make_mvn(d=4, n=17)
+    kw = dict(max_rank=6, accuracy=5e-13, pivoting=1,
+              quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    fast = cross(prob.fun, [prob.n] * prob.d, refine_sweeps=2, **kw)
+    slow = cross(prob.fun, [prob.n] * prob.d, refine_sweeps=2,
+                 return_state=True, **kw)
+    assert fast.state is None          # fast path (no state materialized)
+    assert slow.state is not None
+    assert fast.neval == slow.neval
+    assert fast.ranks == slow.ranks
+    np.testing.assert_allclose(fast.values[-1], slow.values[-1], rtol=0, atol=0)

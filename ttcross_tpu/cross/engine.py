@@ -1409,8 +1409,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                 st, last_it, vals, pmax, nev, _ = run_fn(st, w)
                 solved = finalize_fn(st)
                 ft = vals.dtype
+                # vip rides along (exact: indices < 2^20 << f32/f64
+                # mantissa) so refine_sweeps can seed the maxvol pivot
+                # sets WITHOUT dropping this fused export-cached path
                 packed = jnp.concatenate([
                     vals, pmax, nev.astype(ft), st.rk.astype(ft),
+                    st.vip.reshape(-1).astype(ft),
                     jnp.stack([last_it.astype(ft), st.neval.astype(ft),
                                st.padded.astype(ft)]),
                 ])
@@ -1579,7 +1583,11 @@ def cross(
             raise ValueError("refine_sweeps and oversample are mutually "
                              "exclusive post-passes")
         user_return_state = return_state
-        return_state = True   # the refinement seeds from the pivot sets
+        # the refinement seeds from the pivot sets; the fused fast path
+        # ships vip in its packed output, so only paths that cannot
+        # (chunked growth, resume) need the full state materialized
+        if rank_chunks is not None or init_state is not None:
+            return_state = True
     if sweep_mode not in ("sequential", "jacobi"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
     caps = None
@@ -1658,6 +1666,9 @@ def cross(
         pmax = packed[S:2 * S]
         nev = packed[2 * S:3 * S].astype(np.int64)
         rk = packed[3 * S:3 * S + d + 1].astype(np.int64)
+        off = 3 * S + d + 1
+        vip_fast = packed[off: off + (d - 1) * cfg.R * 4] \
+            .astype(np.int64).reshape(d - 1, cfg.R, 4)
         last_it = int(packed[-3])
         neval = int(packed[-2])
         padded = int(packed[-1])
@@ -1707,7 +1718,15 @@ def cross(
     if return_state:
         res.state = st
     if refine_sweeps:
-        res = _apply_refine(res, fun, n, refine_sweeps, quad, truth)
+        seed_state = st
+        if seed_state is None:
+            # fast path: the pivot chains came back inside the packed
+            # vector; a vip/rk shim is all pivot_index_sets needs
+            from types import SimpleNamespace
+
+            seed_state = SimpleNamespace(vip=vip_fast, rk=rk)
+        res = _apply_refine(res, fun, n, refine_sweeps, quad, truth,
+                            state=seed_state)
         if not user_return_state:
             res.state = None
     return res
