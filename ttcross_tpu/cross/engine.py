@@ -1014,10 +1014,14 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         neval = st.neval + jnp.sum(
             jnp.where(live, nlot_act, 0)).astype(jnp.int64)
         padded = st.padded + mc * NLOT
-        cf = jnp.take_along_axis(
-            colf_flat, lin_c[:, :, None].astype(jnp.int32), axis=1)
-        rf = jnp.take_along_axis(
-            rowf_perm, lin_r[:, :, None].astype(jnp.int32), axis=1)
+        # factor rows via exact batched one-hot MXU lookups (the
+        # sequential path's row_lookup, vmapped over bonds): per-bond
+        # take_along_axis row-gathers were the jacobi mode's small-d
+        # bottleneck (gathers run element-serial on this TPU)
+        from ..ops.dense import batched_row_lookup
+
+        cf = batched_row_lookup(colf_flat, lin_c)
+        rf = batched_row_lookup(rowf_perm, lin_r)
         resid = b - jnp.sum(cf * rf * rmask_b[:, None, :], axis=2)
         best = jnp.argmax(jnp.where(candmask, jnp.abs(resid), -1.0), axis=1)
 
@@ -1058,9 +1062,8 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                 acol = jnp.where(cmask, vals.reshape(mc, R, N), 0.0)
                 amax = amax2(c["amax"], jnp.max(jnp.abs(acol)))
                 dnev = jnp.sum(jnp.where(live, rk_l * n_l, 0)).astype(jnp.int64)
-                u = jnp.take_along_axis(
-                    rowf_perm, (c["qq"] * N + c["kk"])[:, None, None]
-                    .astype(jnp.int32), axis=1)[:, 0, :] * rmask_b  # (mc, R)
+                u = batched_row_lookup(
+                    rowf_perm, c["qq"] * N + c["kk"]) * rmask_b  # (mc, R)
                 bcol = acol - jnp.einsum("pinr,pr->pin",
                                          colf_b * rmask_b[:, None, None, :], u)
                 sc = jnp.where(cmask, jnp.abs(bcol), -1.0)
@@ -1085,9 +1088,8 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                 arow = jnp.where(rmask2, vals.reshape(mc, N, R), 0.0)
                 amax = amax2(c["amax"], jnp.max(jnp.abs(arow)))
                 dnev = jnp.sum(jnp.where(live, n_r * rk_r, 0)).astype(jnp.int64)
-                cw = jnp.take_along_axis(
-                    colf_flat, (c["ii"] * N + c["jj"])[:, None, None]
-                    .astype(jnp.int32), axis=1)[:, 0, :] * rmask_b
+                cw = batched_row_lookup(
+                    colf_flat, c["ii"] * N + c["jj"]) * rmask_b
                 brow = arow - jnp.einsum("pr,prnq->pnq", cw, rowf_b)
                 sr = jnp.where(rmask2, jnp.abs(brow), -1.0)
                 k2 = jnp.argmax(jnp.max(sr, axis=2), axis=1)
@@ -1170,12 +1172,10 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
                & (rk_b < R))
         piv_safe = jnp.where(jnp.abs(pivot) > 0, pivot, 1.0)
-        c_new = jnp.take_along_axis(
-            colf_flat, (ii * N + jj)[:, None, None].astype(jnp.int32),
-            axis=1)[:, 0, :] * rmask_b                         # (nb, R)
-        u_new = jnp.take_along_axis(
-            rowf_perm, (qq * N + kk)[:, None, None].astype(jnp.int32),
-            axis=1)[:, 0, :] * rmask_b
+        from ..ops.dense import batched_row_lookup
+
+        c_new = batched_row_lookup(colf_flat, ii * N + jj) * rmask_b  # (nb, R)
+        u_new = batched_row_lookup(rowf_perm, qq * N + kk) * rmask_b
         s_arr = rk_b.astype(jnp.int32)                         # slot per bond
 
         def wsel(new, old, m=upd):

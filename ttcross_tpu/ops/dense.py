@@ -98,6 +98,20 @@ def row_lookup(mat, lin, axis: int = 0):
     return _onehot_select(_f32_split3(mat * s), oh, axis) * sinv
 
 
+def batched_row_lookup(tabs, lin):
+    """Gather-free BATCHED row selection: out[b, l, :] = tabs[b, lin[b, l], :]
+    (lin may also be (B,), returning (B, K)).  vmap of row_lookup over the
+    leading axis — the one-hot contraction becomes one batched MXU matmul,
+    replacing per-bond take_along_axis row-gathers (the TPU slow path) in
+    the all-bonds jacobi sweep."""
+    lin = jnp.asarray(lin)
+    single = lin.ndim == 1
+    if single:
+        lin = lin[:, None]
+    out = jax.vmap(row_lookup)(jnp.asarray(tabs), lin)
+    return out[:, 0] if single else out
+
+
 def svd_chopped(a, tol: float | None = None, rmax: int | None = None):
     """SVD with rank truncation: returns (u, s, vh, err) with the chopped
     rank from the reference's tail-energy rule (svd + chop,
