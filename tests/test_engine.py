@@ -295,3 +295,47 @@ def test_rank_caps_validation():
     with pytest.raises(ValueError, match="jacobi"):
         cross(prob.fun, [prob.n] * prob.d, max_rank=4, rank_caps=[2, 2],
               sweep_mode="jacobi")
+
+
+def test_adaptive_gating_skips_converged_bonds():
+    """Adaptive hunt gating (cross(adaptive=True)): on the rank-1-exact
+    stdnorm integrand every post-convergence bond visit skips its rook
+    fibers, cutting n_evals below the reference's every-bond-every-sweep
+    count at IDENTICAL accuracy."""
+    from ttcross_tpu.apps import make_stdnorm
+
+    p = make_stdnorm(d=10, n=32)
+    kw = dict(max_rank=8, accuracy=5 * 2.2e-16, pivoting=1,
+              quad=[p.quad_weights] * p.d, truth=p.truth)
+    greedy = cross(p.fun, [p.n] * p.d, **kw)
+    gated = cross(p.fun, [p.n] * p.d, adaptive=True, **kw)
+    assert gated.neval < greedy.neval * 0.8, (gated.neval, greedy.neval)
+    assert gated.errors[-1] == greedy.errors[-1]
+    assert gated.ranks == greedy.ranks
+
+
+def test_adaptive_gating_never_changes_the_train(rng):
+    """The gate may skip post-saturation visits (fewer evals) but must
+    never alter the accepted pivots: the returned train is bit-identical
+    to the plain greedy run's."""
+    _, dense, fun = make_low_rank(rng, 4, 9, (1, 3, 3, 3, 1))
+    kw = dict(max_rank=5, pivoting=1, accuracy=1e-12)
+    a = cross(fun, [9] * 4, **kw)
+    b = cross(fun, [9] * 4, adaptive=True, **kw)
+    assert b.neval <= a.neval
+    assert a.ranks == b.ranks
+    np.testing.assert_array_equal(np.asarray(tt.full(a.tt)),
+                                  np.asarray(tt.full(b.tt)))
+
+
+def test_adaptive_validation():
+    prob = make_ising("C", m=4, n=17)
+    with pytest.raises(ValueError, match="adaptive"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=4, adaptive=True,
+              pivoting=-1)
+    with pytest.raises(ValueError, match="adaptive"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=4, adaptive=True,
+              sweep_mode="jacobi")
+    with pytest.raises(ValueError, match="adaptive"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=4, adaptive=True,
+              rank_caps=[2, 2])

@@ -58,6 +58,14 @@ class CrossConfig:
                          # fiber sizes, closing the padded-work gap that a
                          # single global padded rank leaves on rank-
                          # heterogeneous trains
+    adaptive: float = 0.0  # adaptive hunt gating margin (cross(adaptive=)):
+                         # >0 skips a bond's rook fiber evaluations when the
+                         # lottery's best residual, amplified by this
+                         # margin, still clears neither acceptance
+                         # threshold (or the bond is rank-saturated) — a
+                         # converged bond then costs ~2(R+N) lottery evals
+                         # instead of ~2*piv*R*N per sweep.  0 = off (the
+                         # reference evaluates every bond every sweep)
 
 
 class EngineKit(NamedTuple):
@@ -654,10 +662,38 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             st, piv_idx, pivot, acol, arow = _hunt_full(st, p, ltab, rtab)
         else:
             st, seed, pivot0 = _hunt_lottery(st, p, ltab, rtab, u2, lw)
-            if cfg.piv == 0:
-                st, piv_idx, pivot, acol, arow = _hunt_piv0(st, p, ltab, rtab, seed, pivot0)
+
+            def hunt(s):
+                if cfg.piv == 0:
+                    s, idx, pv, ac, ar = _hunt_piv0(s, p, ltab, rtab, seed, pivot0)
+                else:
+                    s, idx, pv, ac, ar = _rook(s, p, ltab, rtab, seed, pivot0, dir_fwd)
+                return s, tuple(jnp.asarray(x, jnp.int32) for x in idx), pv, ac, ar
+
+            if cfg.adaptive > 0:
+                # adaptive gating: the lottery residual is a cheap probe of
+                # the bond's best achievable pivot; when even an `adaptive`-
+                # fold amplification cannot clear the two-threshold accept
+                # (engine acceptance below / dmrgg.f90:598-600), or the bond
+                # is rank-saturated, skip the fiber evaluations entirely —
+                # lax.cond executes one branch on TPU, so a converged bond
+                # costs only its lottery.  The reference has no such gate
+                # (it evaluates every bond every sweep until global strike-3).
+                gate = ((jnp.abs(pivot0) * cfg.adaptive
+                         > cfg.small_element * st.amax)
+                        & (jnp.abs(pivot0) * cfg.adaptive
+                           > cfg.small_pivot * st.pivotmax_prev)
+                        & (st.rk[p + 1] < R))
+                dt_ = st.cores.dtype
+
+                def skip(s):
+                    return (s, tuple(jnp.asarray(x, jnp.int32) for x in seed),
+                            jnp.zeros((), dt_), jnp.zeros((R, N), dt_),
+                            jnp.zeros((N, R), dt_))
+
+                st, piv_idx, pivot, acol, arow = jax.lax.cond(gate, hunt, skip, st)
             else:
-                st, piv_idx, pivot, acol, arow = _rook(st, p, ltab, rtab, seed, pivot0, dir_fwd)
+                st, piv_idx, pivot, acol, arow = hunt(st)
 
         upd = ((jnp.abs(pivot) > cfg.small_element * st.amax)
                & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
@@ -1499,6 +1535,7 @@ def cross(
     refine_sweeps: int = 0,
     sweep_mode: str = "sequential",
     rank_caps: Sequence[int] | None = None,
+    adaptive: float | bool = 0.0,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -1541,6 +1578,16 @@ def cross(
     gap left by a single global padded rank on rank-heterogeneous trains;
     combine with rank_chunks for padded_ratio ~ 1.1 on the C_6 bench.
     Small-d configs only (unrolled compile); not with sweep_mode="jacobi".
+    adaptive: adaptive hunt gating (True = margin 4096, or an explicit
+    margin float): skip a bond's rook/piv0 fiber evaluations when even an
+    `adaptive`-fold amplification of its lottery residual clears neither
+    acceptance threshold, or the bond is rank-saturated.  Converged bonds
+    then cost ~2(R+N) lottery probes instead of ~2*piv*R*N fiber evals per
+    sweep — BELOW the reference's evaluation count (it revisits every bond
+    fully until the global strike-3 stop).  Heuristic: a pivot whose
+    residual hides > `adaptive`-fold above the lottery's best draw is
+    skipped that sweep (the lottery re-probes every sweep, so a gated bond
+    is reconsidered, not frozen).  Sequential sweeps with pivoting >= 0.
     """
     n = tuple(int(x) for x in n)
     d = len(n)
@@ -1565,7 +1612,7 @@ def cross(
                     use_pallas=use_pallas, max_sweeps=max_sweeps,
                     small_element=small_element, small_pivot=small_pivot,
                     rank_chunks=chunks_over, weighted_lottery=weighted_lottery,
-                    sweep_mode=sweep_mode)
+                    sweep_mode=sweep_mode, adaptive=adaptive)
         return round_and_revalue(res, max_rank, quad, truth)
     se, sp = precision_thresholds(dtype)
     # acceptance thresholds are overridable: the per-dtype defaults
@@ -1590,6 +1637,13 @@ def cross(
             return_state = True
     if sweep_mode not in ("sequential", "jacobi"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
+    adaptive = 4096.0 if adaptive is True else float(adaptive)
+    if adaptive > 0:
+        if int(pivoting) < 0:
+            raise ValueError("adaptive gating requires pivoting >= 0 "
+                             "(full pivoting has no lottery probe)")
+        if sweep_mode == "jacobi":
+            raise ValueError("adaptive gating applies to sequential sweeps")
     caps = None
     if rank_caps is not None:
         caps = tuple(int(x) for x in rank_caps)
@@ -1600,10 +1654,15 @@ def cross(
             raise ValueError("rank_caps is not supported with jacobi sweeps")
         if int(pivoting) < 0:
             raise ValueError("rank_caps requires pivoting >= 0")
+        if adaptive > 0:
+            raise ValueError("adaptive gating is not supported with "
+                             "rank_caps (the capped sweep shrinks batches "
+                             "statically instead)")
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp, use_pallas=use_pallas,
                       wlot=bool(weighted_lottery),
-                      jacobi=sweep_mode == "jacobi", caps=caps)
+                      jacobi=sweep_mode == "jacobi", caps=caps,
+                      adaptive=adaptive)
     kit = get_engine(fun, cfg)
     init_fn, value_fn, make_run_fn = kit.init_fn, kit.value_fn, kit.make_run_fn
 
