@@ -190,7 +190,16 @@ def main():
     q1 = dict(max_rank=8, accuracy=5 * 2.2e-16, pivoting=1,
               quad=[p1.quad_weights] * p1.d, truth=p1.truth)
     res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d, **q1))
+    base_evals = int(res.neval)
     line("stdnorm_d10", res, el)
+
+    # adaptive hunt gating companion: converged bonds skip their fiber
+    # evaluations — FEWER integrand calls than the reference performs on
+    # the identical run, at identical digits (cross(adaptive=True))
+    res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d,
+                                      adaptive=True, **q1))
+    line("stdnorm_d10_adaptive", res, el,
+         {"evals_saved_vs_greedy": round(1.0 - res.neval / base_evals, 3)})
 
     # ---- config 2: MVN probability d=6 N=65 RANK=20 (test_crs_mvn.exe)
     p2 = make_mvn(d=6, n=65)

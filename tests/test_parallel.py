@@ -351,3 +351,22 @@ def test_parallel_refine_sweeps_beats_greedy():
     dr = -np.log10(r.errors[-1])
     assert dr >= dg - 0.2, (dg, dr)
     assert r.ranks == g.ranks
+
+
+def test_parallel_adaptive_gating():
+    """cross_parallel(adaptive=True): each device gates its slab's bonds on
+    their lottery residuals — fewer evaluations at identical digits on the
+    rank-1-exact stdnorm, and identical ranks (gated bonds ship zero tapes,
+    so every replica replays the same accepts)."""
+    from ttcross_tpu.apps import make_stdnorm
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    p = make_stdnorm(d=10, n=32)
+    kw = dict(max_rank=8, accuracy=5 * 2.2e-16, pivoting=1,
+              quad=[p.quad_weights] * p.d, truth=p.truth)
+    mesh = bond_mesh(jax.devices()[:2])
+    a = cross_parallel(p.fun, [p.n] * p.d, mesh=mesh, **kw)
+    b = cross_parallel(p.fun, [p.n] * p.d, mesh=mesh, adaptive=True, **kw)
+    assert b.neval < a.neval * 0.8, (b.neval, a.neval)
+    assert b.errors[-1] == a.errors[-1]
+    assert a.ranks == b.ranks

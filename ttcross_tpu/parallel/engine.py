@@ -501,6 +501,7 @@ def cross_parallel(
     oversample: int = 0,
     sweep_mode: str = "sequential",
     refine_sweeps: int = 0,
+    adaptive: float | bool = 0.0,
 ) -> CrossResult:
     """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
     the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
@@ -514,11 +515,21 @@ def cross_parallel(
     the acceptance runs replicated; the throughput mode for long chains).
     refine_sweeps: k distributed maxvol pivot-replacement sweeps after the
     greedy cross (parallel/maxvol.py on the same mesh), as
-    cross(refine_sweeps=k)."""
+    cross(refine_sweeps=k).
+    adaptive: residual-gated hunts as in cross(adaptive=...) — each device
+    gates its own slab's bonds on their (replicated-threshold) lottery
+    residuals; gated bonds ship zero tapes, so replicas replay
+    consistently."""
     n = tuple(int(x) for x in n)
     d = len(n)
     if sweep_mode not in ("sequential", "jacobi"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
+    adaptive = 4096.0 if adaptive is True else float(adaptive)
+    if adaptive > 0:
+        if int(pivoting) < 0:
+            raise ValueError("adaptive gating requires pivoting >= 0")
+        if sweep_mode == "jacobi":
+            raise ValueError("adaptive gating applies to sequential sweeps")
     if oversample and refine_sweeps:
         raise ValueError("refine_sweeps and oversample are mutually "
                          "exclusive refinements")
@@ -527,7 +538,7 @@ def cross_parallel(
                              accuracy=accuracy, pivoting=pivoting, quad=quad,
                              truth=truth, key=key, dtype=dtype, mesh=mesh,
                              verbose=verbose, mybonds=mybonds,
-                             sweep_mode=sweep_mode)
+                             sweep_mode=sweep_mode, adaptive=adaptive)
         from ..cross.engine import round_and_revalue
 
         return round_and_revalue(res, max_rank, quad, truth)
@@ -536,7 +547,7 @@ def cross_parallel(
     se, sp = precision_thresholds(dtype)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp,
-                      jacobi=sweep_mode == "jacobi")
+                      jacobi=sweep_mode == "jacobi", adaptive=adaptive)
     kit, make_run_fn = get_parallel_engine(fun, cfg, mesh, mybonds)
 
     if isinstance(key, int):
