@@ -52,7 +52,11 @@ def tpu_alive():
             proc = subprocess.run([sys.executable, "-c", code],
                                   capture_output=True, text=True,
                                   timeout=tmo)
-            if proc.returncode == 0 and proc.stdout.strip():
+            plat = proc.stdout.strip().lower()
+            # a fast tunnel failure can make jax silently fall back to CPU
+            # devices with exit 0 — accept only a non-CPU platform, else
+            # the suite would emit CPU numbers WITHOUT the honesty flag
+            if proc.returncode == 0 and plat and plat != "cpu":
                 return True
         except subprocess.TimeoutExpired:
             pass

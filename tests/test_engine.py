@@ -339,3 +339,17 @@ def test_adaptive_validation():
     with pytest.raises(ValueError, match="adaptive"):
         cross(prob.fun, [prob.n] * prob.d, max_rank=4, adaptive=True,
               rank_caps=[2, 2])
+
+
+def test_oversample_respects_rank_caps():
+    """oversample must not silently drop rank_caps: the inflated run gets
+    caps+oversample headroom per bond and the rounding pass truncates back
+    to max_rank (previously the caps were dropped on the recursion)."""
+    prob = make_ising("C", m=4, n=17)
+    quad = [prob.quad_weights] * prob.d
+    r = cross(prob.fun, [prob.n] * prob.d, max_rank=6, pivoting=1,
+              oversample=2, rank_caps=[4, 6], quad=quad, truth=prob.truth)
+    assert max(r.ranks) <= 6
+    # the inflated run was capped at (6, 8): bond 0 cannot exceed 6
+    assert r.ranks[1] <= 6
+    assert r.errors[-1] < 1e-6

@@ -61,8 +61,9 @@ class CrossConfig:
     adaptive: float = 0.0  # adaptive hunt gating margin (cross(adaptive=)):
                          # >0 skips a bond's rook fiber evaluations when the
                          # lottery's best residual, amplified by this
-                         # margin, still clears neither acceptance
-                         # threshold (or the bond is rank-saturated) — a
+                         # margin, still fails EITHER acceptance threshold
+                         # (acceptance needs both) or the bond is rank-
+                         # saturated — a
                          # converged bond then costs ~2(R+N) lottery evals
                          # instead of ~2*piv*R*N per sweep.  0 = off (the
                          # reference evaluates every bond every sweep)
@@ -672,10 +673,10 @@ def make_engine(fun: Callable, cfg: CrossConfig):
 
             if cfg.adaptive > 0:
                 # adaptive gating: the lottery residual is a cheap probe of
-                # the bond's best achievable pivot; when even an `adaptive`-
-                # fold amplification cannot clear the two-threshold accept
-                # (engine acceptance below / dmrgg.f90:598-600), or the bond
-                # is rank-saturated, skip the fiber evaluations entirely —
+                # the bond's best achievable pivot; when an `adaptive`-fold
+                # amplification still fails either leg of the two-threshold
+                # accept (acceptance requires both, dmrgg.f90:598-600), or
+                # the bond is rank-saturated, skip the fiber evaluations —
                 # lax.cond executes one branch on TPU, so a converged bond
                 # costs only its lottery.  The reference has no such gate
                 # (it evaluates every bond every sweep until global strike-3).
@@ -1579,9 +1580,10 @@ def cross(
     combine with rank_chunks for padded_ratio ~ 1.1 on the C_6 bench.
     Small-d configs only (unrolled compile); not with sweep_mode="jacobi".
     adaptive: adaptive hunt gating (True = margin 4096, or an explicit
-    margin float): skip a bond's rook/piv0 fiber evaluations when even an
-    `adaptive`-fold amplification of its lottery residual clears neither
-    acceptance threshold, or the bond is rank-saturated.  Converged bonds
+    margin float): skip a bond's rook/piv0 fiber evaluations when an
+    `adaptive`-fold amplification of its lottery residual still fails
+    either acceptance threshold (acceptance requires clearing both,
+    dmrgg.f90:598-600), or the bond is rank-saturated.  Converged bonds
     then cost ~2(R+N) lottery probes instead of ~2*piv*R*N fiber evals per
     sweep — BELOW the reference's evaluation count (it revisits every bond
     fully until the global strike-3 stop).  Heuristic: a pivot whose
@@ -1606,13 +1608,20 @@ def cross(
         chunks_over = rank_chunks
         if rank_chunks is not None and rank_chunks != "auto":
             chunks_over = [int(x) for x in rank_chunks if int(x) < r_over] + [r_over]
+        # per-bond caps get the same oversampling headroom (the rounding
+        # pass truncates back to max_rank globally); dropping them here
+        # would silently ignore the caller's padded-work contract
+        caps_over = rank_caps
+        if rank_caps is not None:
+            caps_over = [int(x) + int(oversample) for x in rank_caps]
         res = cross(fun, n, max_rank=r_over,
                     accuracy=accuracy, pivoting=pivoting, quad=quad,
                     truth=truth, key=key, dtype=dtype, verbose=verbose,
                     use_pallas=use_pallas, max_sweeps=max_sweeps,
                     small_element=small_element, small_pivot=small_pivot,
                     rank_chunks=chunks_over, weighted_lottery=weighted_lottery,
-                    sweep_mode=sweep_mode, adaptive=adaptive)
+                    sweep_mode=sweep_mode, adaptive=adaptive,
+                    rank_caps=caps_over)
         return round_and_revalue(res, max_rank, quad, truth)
     se, sp = precision_thresholds(dtype)
     # acceptance thresholds are overridable: the per-dtype defaults

@@ -36,8 +36,8 @@ from typing import Callable, Sequence
 import numpy as np
 from mpmath import mp, mpf
 
-from ..cross.engine_mp import (MpCrossResult, MpEngine, _value_chain,
-                               _walk_index, mp_tt_value)
+from ..cross.engine_mp import (MpCrossResult, MpEngine, _walk_index,
+                               mp_tt_value)
 from ..ops.mp import mag10, workdps
 from .mesh import share
 
@@ -164,18 +164,22 @@ def _worker_main(conn, wid, nw, own, fun_mp, n, max_rank, pivoting, dps,
                 # owned cores, factor slices for slab-adjacent bonds
                 for rec in sorted(remote, key=lambda r: r["b"]):
                     b = rec["b"]
-                    if (b in my_cores) or (b + 1 in my_cores) \
-                            or (b - 1 in my_bonds) or (b + 1 in my_bonds):
+                    # pad each boundary fiber only if THIS worker consumes
+                    # it (the pad evaluates n[b] mp integrand points per
+                    # missing row/col — wasted work on the unused side)
+                    if (b in my_cores) or (b - 1 in my_bonds):
                         acol = _fixup_fiber_row(eng, rec)
-                        arow = _fixup_fiber_col(eng, rec)
                         if b in my_cores:
                             eng.G[b] = np.concatenate(
                                 [eng.G[b], acol[:, :, None]], axis=2)
+                        if b - 1 in my_bonds:
+                            eng.apply_left_slice(b, acol)
+                    if (b + 1 in my_cores) or (b + 1 in my_bonds
+                                               and b + 1 <= d - 2):
+                        arow = _fixup_fiber_col(eng, rec)
                         if b + 1 in my_cores:
                             eng.G[b + 1] = np.concatenate(
                                 [eng.G[b + 1], arow[None, :, :]], axis=0)
-                        if b - 1 in my_bonds and b - 1 >= 0:
-                            eng.apply_left_slice(b, acol)
                         if b + 1 in my_bonds and b + 1 <= d - 2:
                             eng.apply_right_slice(b, arow)
                 # update pivotmax_prev from the global sweep max

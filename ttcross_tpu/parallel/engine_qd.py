@@ -27,16 +27,13 @@ from typing import Callable, Sequence
 import numpy as np
 
 from ..cross.engine_mp import _walk_index
-from ..cross.engine_qd import QD_DPS, QdCrossResult, QdEngine, _np_qd, _value_chain_qd
+from ..cross.engine_qd import (QD_DPS, QdCrossResult, QdEngine, _expand,
+                               _np_qd)
 from ..ops.qd import (QD, qd_concat, qd_get, qd_matmul, qd_to_mp,
                       qd_tt_value, qd_vdot_axis)
 from .mesh import share
 
 __all__ = ["cross_qd_parallel"]
-
-
-def _expand(x: QD, pos: int) -> QD:
-    return QD(*(np.expand_dims(e, pos) for e in x))
 
 
 def _owned_bonds(own, w):
@@ -101,7 +98,7 @@ def _worker_value_partial(eng: QdEngine, w, own_cores):
 
 
 def _worker_main(conn, wid, nw, own, fun_qd, n, max_rank, pivoting,
-                 small_element_log10, small_pivot_log10, snum, seed, quad):
+                 small_element_log10, small_pivot_log10, snum, seed):
     try:
         d = len(n)
         my_bonds = list(_owned_bonds(own, wid))
@@ -113,9 +110,15 @@ def _worker_main(conn, wid, nw, own, fun_qd, n, max_rank, pivoting,
         if nw > 1:
             eng.own_cores = my_cores
         init_neval = eng.neval
-        w = ([_np_qd(quad[c]) for c in range(d)]
-             if quad is not None else None)
         conn.send(("ready", init_neval))
+        # quadrature arrives over the pipe as numpy-limb QDs, converted by
+        # the parent AFTER forking: converting pre-fork would initialize
+        # the jax runtime in the parent for a jax-backed quad (fork-after-
+        # jax-init deadlock class), converting in the child would touch
+        # jax-backed arrays from a forked copy of it
+        msg = conn.recv()
+        assert msg[0] == "quad"
+        w = msg[1]
 
         while True:
             msg = conn.recv()
@@ -145,18 +148,22 @@ def _worker_main(conn, wid, nw, own, fun_qd, n, max_rank, pivoting,
                 eng.replay_remote(rec)
             for rec in sorted(remote, key=lambda r: r["b"]):
                 b = rec["b"]
-                if (b in my_cores) or (b + 1 in my_cores) \
-                        or (b - 1 in my_bonds) or (b + 1 in my_bonds):
+                # pad each boundary fiber only if THIS worker consumes it
+                # (the pad evaluates n[b] qd integrand points per missing
+                # row/col — wasted work on the unused side)
+                if (b in my_cores) or (b - 1 in my_bonds):
                     acol = _fixup_fiber_row(eng, rec)
-                    arow = _fixup_fiber_col(eng, rec)
                     if b in my_cores:
                         eng.G[b] = qd_concat([eng.G[b], _expand(acol, 2)],
                                              axis=2)
+                    if b - 1 in my_bonds:
+                        eng.apply_left_slice(b, acol)
+                if (b + 1 in my_cores) or (b + 1 in my_bonds and
+                                           b + 1 <= d - 2):
+                    arow = _fixup_fiber_col(eng, rec)
                     if b + 1 in my_cores:
                         eng.G[b + 1] = qd_concat(
                             [eng.G[b + 1], _expand(arow, 0)], axis=0)
-                    if b - 1 in my_bonds and b - 1 >= 0:
-                        eng.apply_left_slice(b, acol)
                     if b + 1 in my_bonds and b + 1 <= d - 2:
                         eng.apply_right_slice(b, arow)
             lps = [r["lp"] for r in all_recs]
@@ -224,7 +231,7 @@ def cross_qd_parallel(
         p = ctx.Process(target=_worker_main,
                         args=(cc, wid, nw, own, fun_qd, n, max_rank,
                               pivoting, small_element_log10,
-                              small_pivot_log10, snum, seed, quad),
+                              small_pivot_log10, snum, seed),
                         daemon=True)
         p.start()
         cc.close()
@@ -244,7 +251,12 @@ def cross_qd_parallel(
             assert msg[0] == "ready"
             init_neval = msg[1]
 
+        # NOW (post-fork) convert the quadrature to numpy limb arrays and
+        # ship it: no jax state existed when the workers forked, and the
+        # children never touch jax-backed objects
         w = [_np_qd(quad[c]) for c in range(d)] if quad is not None else None
+        for c in conns:
+            c.send(("quad", w))
 
         history = []
         strike = 0
