@@ -210,6 +210,7 @@ def main():
     q2 = dict(max_rank=20, accuracy=acc, pivoting=1,
               quad=[p2.quad_weights] * p2.d, truth=p2.truth)
     res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d, **q2))
+    res2, el2 = res, el
     line("mvn_d6", res, el)
 
     # ---- config 3: COS coefficient tensor (test_crs_coscoeff.exe 6 65 20 1)
@@ -222,12 +223,15 @@ def main():
          {"accchk_einf": float(f"{chk['einf']:.3e}"),
           "accchk_rel": float(f"{chk['einf'] / max(chk['ainf'], 1e-300):.3e}")})
 
-    # ---- config 5a: mvn_complex — complex contraction path
+    # ---- config 5a: mvn_complex — complex contraction path over config
+    # 2's train (the cross is byte-identical to config 2's; only the
+    # complex-weights contraction differs, so re-running it would just pay
+    # two redundant device crosses)
     w_c = [p2.quad_weights.astype(np.complex128)] * p2.d
-    res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d, **q2))
-    val = complex(tt.contract(res.tt, w_c))
+    val = complex(tt.contract(res2.tt, w_c))
     dig_c = -np.log10(abs(1 - val / p2.truth)) if val != 0 else float("nan")
-    line("mvn_complex_d6", res, el, {"complex_digits": round(float(dig_c), 2)})
+    line("mvn_complex_d6", res2, el2,
+         {"complex_digits": round(float(dig_c), 2)})
 
     # ---- config 5b: beyond-f64 tier — dd cross of Ising C_4
     try:

@@ -169,6 +169,23 @@ def test_weighted_lottery(rng):
         cross(prob.fun, [prob.n] * 4, max_rank=4, weighted_lottery=True)
 
 
+def test_weighted_lottery_with_rank_caps():
+    """The capped sweep honours weighted_lottery (its lottery previously
+    dropped the weights silently): the weighted capped run still recovers
+    the integral, and differs from the unweighted capped run's draw path
+    (same key, different candidate distribution)."""
+    from ttcross_tpu.apps import make_mvn
+
+    prob = make_mvn(d=4, n=33)
+    args = dict(max_rank=10, pivoting=1, accuracy=500 * 2.2e-16,
+                quad=[prob.quad_weights] * 4, truth=1.0,
+                rank_caps=[8, 10, 8], key=3)
+    res_w = cross(prob.fun, [prob.n] * 4, weighted_lottery=True, **args)
+    assert -np.log10(res_w.errors[-1]) > 3
+    res_u = cross(prob.fun, [prob.n] * 4, **args)
+    assert res_w.neval != res_u.neval or res_w.values[-1] != res_u.values[-1]
+
+
 def test_oversample_beats_greedy_ceiling():
     """cross(oversample=k): cross-and-round reaches past the greedy-append
     quality ceiling at fixed rank (MVN d=4 case; the d=6 numbers are in

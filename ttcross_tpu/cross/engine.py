@@ -758,7 +758,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                             (st, lw))
 
     # -------------------------------------------------- capped bond visit
-    def _visit_bond_capped(st: CrossState, p: int, u2):
+    def _visit_bond_capped(st: CrossState, p: int, u2, lw=None):
         """Bond visit with PER-BOND capped integrand batches (cfg.caps):
         only the fun-call shapes shrink — fibers are evaluated at
         (Rl, N)/(N, Rr) with Rl/Rr = min(R, cap of the adjacent bond) and
@@ -791,6 +791,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             jnp.minimum(vb[:, 3], Rr - 1) * N + vb[:, 2]].max(smask)
         wcol = (colmask & ~used_col).astype(jnp.float64)
         wrow = (rowmask & ~used_row).astype(jnp.float64)
+        if cfg.wlot and lw is not None:
+            # arbitrary-weights lottery (rnd.f90:105-126): same layout as
+            # _hunt_lottery — lin_c = i*N + j weights mode p, lin_r =
+            # q*N + k weights mode p+1
+            wcol = wcol * jnp.tile(jnp.abs(_at(lw, p)), Rl)
+            wrow = wrow * jnp.tile(jnp.abs(_at(lw, p + 1)), Rr)
         cdf_c = jnp.cumsum(wcol)
         cdf_r = jnp.cumsum(wrow)
         below = 1.0 - 2.0 ** -50
@@ -923,7 +929,8 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         """One capped sweep in a STATIC direction (bond order unrolled —
         per-bond batch shapes must be trace-time constants)."""
 
-        def sweep(st: CrossState) -> CrossState:
+        def sweep(args) -> CrossState:
+            st, lw = args
             key, sub = jax.random.split(st.key)
             U = jax.random.uniform(sub, (d - 1, 2, NLOT), jnp.float64)
             st = st._replace(pivotmax=jnp.full((), -1.0, st.amax.dtype),
@@ -931,7 +938,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
                              key=key)
             order = range(d - 1) if fwd else range(d - 2, -1, -1)
             for p in order:
-                st = _visit_bond_capped(st, p, U[p])
+                st = _visit_bond_capped(st, p, U[p], lw)
             return st._replace(pivotmax_prev=st.pivotmax)
 
         return sweep
@@ -943,7 +950,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         elsewhere were the costly pattern)."""
         dir_fwd = (it % 2) == 1
         return jax.lax.cond(dir_fwd, make_sweep_capped(True),
-                            make_sweep_capped(False), st)
+                            make_sweep_capped(False), (st, lw))
 
     # ------------------------------------------------------- Jacobi sweep
     def make_sweep_jacobi(fwd: bool):
@@ -1635,9 +1642,8 @@ def cross(
     if weighted_lottery and quad is None:
         raise ValueError("weighted_lottery requires quad weights")
     if refine_sweeps:
-        if oversample:
-            raise ValueError("refine_sweeps and oversample are mutually "
-                             "exclusive post-passes")
+        # (oversample is falsy here: its branch above raises on
+        # refine_sweeps and otherwise returns)
         user_return_state = return_state
         # the refinement seeds from the pivot sets; the fused fast path
         # ships vip in its packed output, so only paths that cannot

@@ -327,17 +327,6 @@ class MpEngine:
         self.Cf[b + 1] = np.concatenate([self.Cf[b + 1], slc[None, :, :]],
                                         axis=0)
 
-    def apply_core_updates(self, rec, own_cores):
-        """Store a remote accept's raw fibers into locally-owned cores
-        (the boundary block exchange, dmrggmp.f90:518-629)."""
-        b = rec["b"]
-        if b in own_cores:
-            self.G[b] = np.concatenate([self.G[b], rec["acol"][:, :, None]],
-                                       axis=2)
-        if (b + 1) in own_cores:
-            self.G[b + 1] = np.concatenate(
-                [self.G[b + 1], rec["arow"][None, :, :]], axis=0)
-
     def solve_core(self, c):
         """mptt_lua for one core (dmrggmp.f90:720-776)."""
         g = self.G[c]

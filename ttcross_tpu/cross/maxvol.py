@@ -383,6 +383,43 @@ def _rank_vector(ranks, n):
     return rr
 
 
+def _seed_from_key(key) -> int:
+    """Integer seed for numpy's Generator from either an int or a jax
+    PRNGKey (both key flavours the cross() API accepts) — a non-int key
+    must vary the draw, not silently collapse to seed 0."""
+    if isinstance(key, (int, np.integer)):
+        return int(key)
+    k = jnp.asarray(key)
+    if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+        k = jax.random.key_data(k)
+    return int(np.asarray(k).ravel()[-1])
+
+
+def _prepare_refine_sets(init_sets, ranks, n, d: int, max_rank, key):
+    """Shared maxvol_refine / maxvol_refine_parallel input prep: padded
+    (LI, RJ) index tables + rank vector from either explicit pivot sets
+    or a seeded random column-set draw (classic TT-cross init)."""
+    if init_sets is not None:
+        I, J = init_sets
+        rr_probe = max(len(I[b]) for b in range(d - 1))
+        R = int(max_rank if max_rank is not None else rr_probe)
+        LI, RJ, rr = _pad_sets(I, J, d, R)
+    else:
+        if ranks is None:
+            raise ValueError("ranks is required without init_sets")
+        rr = _rank_vector(ranks, n)
+        R = int(max_rank if max_rank is not None else rr.max())
+        rng = np.random.default_rng(_seed_from_key(key))
+        LI = np.zeros((d - 1, R, d), np.int32)
+        RJ = np.zeros((d - 1, R, d), np.int32)
+        for b in range(d - 1):
+            for c in range(b + 1, d):
+                RJ[b, :, c] = rng.integers(0, n[c], size=R)
+    if np.any(rr > R):
+        raise ValueError(f"ranks {rr.max()} exceed the padding R={R}")
+    return LI, RJ, rr, R
+
+
 def maxvol_refine(fun, n: Sequence[int], ranks=None, init_sets=None,
                   sweeps: int = 2, quad=None, truth=None, key=0,
                   n_exchange: int = 8, tol: float = 1.01,
@@ -408,24 +445,8 @@ def maxvol_refine(fun, n: Sequence[int], ranks=None, init_sets=None,
                          "during the last R->L half sweep)")
     t0 = time.perf_counter()
 
-    if init_sets is not None:
-        I, J = init_sets
-        rr_probe = max(len(I[b]) for b in range(d - 1))
-        R = int(max_rank if max_rank is not None else rr_probe)
-        LI, RJ, rr = _pad_sets(I, J, d, R)
-    else:
-        if ranks is None:
-            raise ValueError("ranks is required without init_sets")
-        rr = _rank_vector(ranks, n)
-        R = int(max_rank if max_rank is not None else rr.max())
-        rng = np.random.default_rng(key if isinstance(key, int) else 0)
-        LI = np.zeros((d - 1, R, d), np.int32)
-        RJ = np.zeros((d - 1, R, d), np.int32)
-        for b in range(d - 1):
-            for c in range(b + 1, d):
-                RJ[b, :, c] = rng.integers(0, n[c], size=R)
-    if np.any(rr > R):
-        raise ValueError(f"ranks {rr.max()} exceed the padding R={R}")
+    LI, RJ, rr, R = _prepare_refine_sets(init_sets, ranks, n, d, max_rank,
+                                         key)
 
     run = _get_refine_engine(fun, n, R, n_exchange, tol).run
     args = (jnp.asarray(LI), jnp.asarray(RJ), jnp.asarray(rr),

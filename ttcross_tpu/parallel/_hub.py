@@ -73,9 +73,6 @@ class TierAdapter:
         """Return rec's arow padded with any missing corner columns."""
         raise NotImplementedError
 
-    def append_core_left(self, eng, b, acol):
-        raise NotImplementedError
-
     def append_core_right(self, eng, b, arow):
         raise NotImplementedError
 
@@ -176,12 +173,14 @@ def _worker_main(ad: TierAdapter, conn, wid, nw, own, fun, n, max_rank,
                 # n[b] integrand evals per missing row/col)
                 for rec in sorted(remote, key=lambda r: r["b"]):
                     b = rec["b"]
-                    if (b in my_cores) or (b - 1 in my_bonds):
+                    # a remote bond's LEFT core b is never owner-local
+                    # here (b <= d-2 and b not in my_bonds imply b not in
+                    # my_cores — the +d-1 tail core is the only extra),
+                    # so the left fixup only feeds the slab-adjacent
+                    # factor slice
+                    if b - 1 in my_bonds:
                         acol = ad.fixup_row(eng, rec)
-                        if b in my_cores:
-                            ad.append_core_left(eng, b, acol)
-                        if b - 1 in my_bonds:
-                            eng.apply_left_slice(b, acol)
+                        eng.apply_left_slice(b, acol)
                     if (b + 1 in my_cores) or (b + 1 in my_bonds
                                                and b + 1 <= d - 2):
                         arow = ad.fixup_col(eng, rec)

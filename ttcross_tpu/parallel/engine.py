@@ -259,6 +259,32 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
 
         return jax.lax.cond(do_l, fix_left, lambda s: s, st)
 
+    def _scalar_fold(st: CrossState):
+        """Per-sweep scalar reductions in ONE gather: max(amax),
+        max(pivotmax), min(pivotmin), sum(neval), sum(padded) — pmax/psum
+        lower only as SUM all-reduces on some TPU backends, all_gather is
+        portable.  The int64 counter deltas ride the gather as f64 (exact
+        to 2^53 — NOT the state dtype: an f32 payload would round per-run
+        deltas past 2^24, which long-chain jacobi runs reach)."""
+        dt = st.amax.dtype
+        f64 = jnp.float64
+        sc = jnp.stack([
+            st.amax.astype(f64), st.pivotmax.astype(f64),
+            jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin).astype(f64),
+            (st.neval - kit.init_neval).astype(f64),
+            (st.padded - init_padded).astype(f64),
+        ])
+        G = jax.lax.all_gather(sc, BOND_AXIS)       # (ndev, 5)
+        pmin = jnp.min(G[:, 2])
+        st = st._replace(
+            amax=jnp.max(G[:, 0]).astype(dt),
+            pivotmax=jnp.max(G[:, 1]).astype(dt),
+            pivotmin=jnp.where(jnp.isinf(pmin), -1.0, pmin).astype(dt),
+            pivotmax_prev=jnp.max(G[:, 1]).astype(dt))
+        nev_tot = jnp.sum(G[:, 3]).astype(jnp.int64) + kit.init_neval
+        padded_tot = jnp.sum(G[:, 4]).astype(jnp.int64) + init_padded
+        return st, nev_tot, padded_tot
+
     def psweep(st: CrossState, it, own_lo, own_hi):
         """One distributed sweep with the per-iteration traffic packed into
         TWO collectives (the reference pays 2 sendrecv chains + 3 scalar
@@ -279,23 +305,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         TI = jnp.round(TP[:, 2 * R + 1:]).astype(jnp.int32)
         st = replay(st, TI, TF, own_lo, own_hi)
         st = fixup(st, TI, own_lo, own_hi)
-        # scalar reductions in one gather: max(amax), max(pivotmax),
-        # min(pivotmin), sum(neval), sum(padded) — pmax/psum lower only as
-        # SUM all-reduces on some TPU backends, all_gather is portable
-        sc = jnp.stack([
-            st.amax, st.pivotmax,
-            jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin),
-            (st.neval - kit.init_neval).astype(dt),
-            (st.padded - init_padded).astype(dt),
-        ])
-        G = jax.lax.all_gather(sc, BOND_AXIS)       # (ndev, 5)
-        pmin = jnp.min(G[:, 2])
-        st = st._replace(amax=jnp.max(G[:, 0]), pivotmax=jnp.max(G[:, 1]),
-                         pivotmin=jnp.where(jnp.isinf(pmin), -1.0, pmin),
-                         pivotmax_prev=jnp.max(G[:, 1]))
-        nev_tot = jnp.sum(G[:, 3]).astype(jnp.int64) + kit.init_neval
-        padded_tot = jnp.sum(G[:, 4]).astype(jnp.int64) + init_padded
-        return st, nev_tot, padded_tot
+        return _scalar_fold(st)
 
     def psweep_jacobi(st: CrossState, it, own_lo, own_hi):
         """One distributed slab-level Jacobi sweep: each device runs the
@@ -353,21 +363,7 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         st = st._replace(amax=amax_g, neval=neval_l, padded=padded_l)
         corner_count = (jnp.arange(nb) >= own_lo) & (jnp.arange(nb) < own_hi)
         st = kit.jacobi_apply(st, hunt_full, corner_count)
-
-        sc = jnp.stack([
-            st.amax, st.pivotmax,
-            jnp.where(st.pivotmin < 0, jnp.inf, st.pivotmin),
-            (st.neval - kit.init_neval).astype(dt),
-            (st.padded - init_padded).astype(dt),
-        ])
-        G = jax.lax.all_gather(sc, BOND_AXIS)       # (ndev, 5)
-        pmin = jnp.min(G[:, 2])
-        st = st._replace(amax=jnp.max(G[:, 0]), pivotmax=jnp.max(G[:, 1]),
-                         pivotmin=jnp.where(jnp.isinf(pmin), -1.0, pmin),
-                         pivotmax_prev=jnp.max(G[:, 1]))
-        nev_tot = jnp.sum(G[:, 3]).astype(jnp.int64) + kit.init_neval
-        padded_tot = jnp.sum(G[:, 4]).astype(jnp.int64) + init_padded
-        return st, nev_tot, padded_tot
+        return _scalar_fold(st)
 
     def pvalue(st: CrossState, w, own_lo, own_hi):
         """Distributed quadrature value: per-device chain product over its

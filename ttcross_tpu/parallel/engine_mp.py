@@ -95,9 +95,6 @@ class _MpAdapter(TierAdapter):
             cols.append(v.reshape(eng.n[b + 1], 1))
         return np.concatenate([arow] + cols, axis=1)
 
-    def append_core_left(self, eng, b, acol):
-        eng.G[b] = np.concatenate([eng.G[b], acol[:, :, None]], axis=2)
-
     def append_core_right(self, eng, b, arow):
         eng.G[b + 1] = np.concatenate([eng.G[b + 1], arow[None, :, :]],
                                       axis=0)

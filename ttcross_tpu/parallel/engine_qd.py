@@ -83,9 +83,6 @@ class _QdAdapter(TierAdapter):
             cols.append(QD(*(e.reshape(eng.n[b + 1], 1) for e in v)))
         return qd_concat([arow] + cols, axis=1)
 
-    def append_core_left(self, eng, b, acol):
-        eng.G[b] = qd_concat([eng.G[b], _expand(acol, 2)], axis=2)
-
     def append_core_right(self, eng, b, arow):
         eng.G[b + 1] = qd_concat([eng.G[b + 1], _expand(arow, 0)], axis=0)
 

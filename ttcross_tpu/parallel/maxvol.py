@@ -31,8 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..cross.maxvol import (MaxvolKit, _get_refine_engine, _pad_sets,
-                            _rank_vector)
+from ..cross.maxvol import (MaxvolKit, _get_refine_engine,
+                            _prepare_refine_sets)
 from .mesh import BOND_AXIS, bond_mesh, share
 
 __all__ = ["maxvol_refine_parallel"]
@@ -82,32 +82,37 @@ def _make_parallel_refine(fun: Callable, n: tuple, R: int, n_exchange: int,
             LI, RJ, neval, padded = carry
 
             def lr_body(u, c):
-                LI, neval, padded = c
                 # int64 bond id: the visit kernels build dynamic_update
                 # slice index tuples with weak python ints (int64 on x64)
                 b = jnp.minimum(own_lo + u, nb - 1).astype(jnp.int_)
                 live = own_lo + u < own_hi
-                LI2, _, nev2, pad2 = kit.visit_lr(b, LI, RJ, rr,
-                                                  neval, padded)
-                LI = jnp.where(live, LI2, LI)
-                neval = jnp.where(live, nev2, neval)
-                padded = jnp.where(live, pad2, padded)
-                return LI, neval, padded
+
+                # dead lanes (uneven slabs) SKIP the visit: the kernel has
+                # no collectives, and an unconditional call would pay its
+                # full fiber-cross integrand batch just to discard it
+                def do(c):
+                    LI, neval, padded = c
+                    LI2, _, nev2, pad2 = kit.visit_lr(b, LI, RJ, rr,
+                                                      neval, padded)
+                    return LI2, nev2, pad2
+
+                return jax.lax.cond(live, do, lambda c: c, c)
 
             LI, neval, padded = jax.lax.fori_loop(
                 0, max_cnt, lr_body, (LI, neval, padded))
             LI = merge_table(LI)
 
             def rl_body(u, c):
-                RJ, neval, padded = c
                 b = jnp.maximum(own_hi - 1 - u, 0).astype(jnp.int_)
                 live = own_hi - 1 - u >= own_lo
-                RJ2, _, nev2, pad2 = kit.visit_rl(b, LI, RJ, rr,
-                                                  neval, padded)
-                RJ = jnp.where(live, RJ2, RJ)
-                neval = jnp.where(live, nev2, neval)
-                padded = jnp.where(live, pad2, padded)
-                return RJ, neval, padded
+
+                def do(c):
+                    RJ, neval, padded = c
+                    RJ2, _, nev2, pad2 = kit.visit_rl(b, LI, RJ, rr,
+                                                      neval, padded)
+                    return RJ2, nev2, pad2
+
+                return jax.lax.cond(live, do, lambda c: c, c)
 
             RJ, neval, padded = jax.lax.fori_loop(
                 0, max_cnt, rl_body, (RJ, neval, padded))
@@ -124,16 +129,18 @@ def _make_parallel_refine(fun: Callable, n: tuple, R: int, n_exchange: int,
         # from the final tables — the CUR-chain identity is exact for
         # any frozen sets (cross/maxvol.py emit_core).
         def core_body(u, c):
-            cores, neval, padded = c
             b = jnp.minimum(own_lo + u, nb - 1).astype(jnp.int_)
             live = own_lo + u < own_hi
-            core, nev2, pad2 = kit.emit_core(b, LI, RJ, rr, neval, padded)
-            cores2 = jax.lax.dynamic_update_slice(
-                cores, core[None], (b + 1, 0, 0, 0))
-            cores = jnp.where(live, cores2, cores)
-            neval = jnp.where(live, nev2, neval)
-            padded = jnp.where(live, pad2, padded)
-            return cores, neval, padded
+
+            def do(c):
+                cores, neval, padded = c
+                core, nev2, pad2 = kit.emit_core(b, LI, RJ, rr, neval,
+                                                 padded)
+                cores = jax.lax.dynamic_update_slice(
+                    cores, core[None], (b + 1, 0, 0, 0))
+                return cores, nev2, pad2
+
+            return jax.lax.cond(live, do, lambda c: c, c)
 
         cores, neval, padded = jax.lax.fori_loop(
             0, max_cnt, core_body, (cores, neval, padded))
@@ -203,24 +210,8 @@ def maxvol_refine_parallel(fun, n: Sequence[int], ranks=None,
         mesh = bond_mesh()
     t0 = time.perf_counter()
 
-    if init_sets is not None:
-        I, J = init_sets
-        rr_probe = max(len(I[b]) for b in range(d - 1))
-        R = int(max_rank if max_rank is not None else rr_probe)
-        LI, RJ, rr = _pad_sets(I, J, d, R)
-    else:
-        if ranks is None:
-            raise ValueError("ranks is required without init_sets")
-        rr = _rank_vector(ranks, n)
-        R = int(max_rank if max_rank is not None else rr.max())
-        rng = np.random.default_rng(key if isinstance(key, int) else 0)
-        LI = np.zeros((d - 1, R, d), np.int32)
-        RJ = np.zeros((d - 1, R, d), np.int32)
-        for b in range(d - 1):
-            for c in range(b + 1, d):
-                RJ[b, :, c] = rng.integers(0, n[c], size=R)
-    if np.any(rr > R):
-        raise ValueError(f"ranks {rr.max()} exceed the padding R={R}")
+    LI, RJ, rr, R = _prepare_refine_sets(init_sets, ranks, n, d, max_rank,
+                                         key)
 
     run = _get_parallel_refine(fun, n, R, n_exchange, tol, mesh, mybonds)
     cores, _, _, neval, padded = run(
