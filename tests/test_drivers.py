@@ -50,6 +50,15 @@ def test_crs_ising_driver():
     assert digits >= 6
 
 
+@pytest.mark.slow
+def test_crs_quantics_driver():
+    """Quantics driver smoke: 2^16 virtual grid, greedy + 1 maxvol
+    replacement sweep (the deep-grid conditioning cure it defaults to)."""
+    out = run_driver("crs_quantics.py", 16, 8, 1, 1, timeout=600)
+    digits = float(out.rsplit("correct digits:", 1)[1].split()[0])
+    assert digits >= 10, out
+
+
 def test_crs_ising_qde_driver():
     """qd-engine driver smoke: C_4 n=17 rank 10 crosses in ~1 s of engine
     time and must beat the n=17 rule floor region (measured 12.4)."""

@@ -79,3 +79,77 @@ def test_quantics_2d():
     got = np.asarray(tt.value(res.tt, jnp.asarray(xs), dd=2))
     tru = np.sin(2 * np.pi * xs[:, 0]) * np.cos(2 * np.pi * xs[:, 1])
     np.testing.assert_allclose(got, tru, atol=1e-8)
+
+
+def test_quantics_app_exp_integral():
+    """apps.quantics convenience layer: exp(x) on [0,1) is exactly rank 1
+    in quantics (exp of a sum of bit contributions factorizes), and the
+    Riemann sum matches the midpoint-free left sum of e - 1."""
+    from ttcross_tpu.apps import quantics_cross
+
+    K = 16
+    prob, res = quantics_cross(jnp.exp, K, max_rank=4, pivoting=1,
+                               accuracy=1e-13)
+    assert max(res.ranks) <= 2  # rank-1 function (+1 padding headroom)
+    # left Riemann sum of exp on 2^K cells (exact closed form)
+    h = 2.0 ** -K
+    tru = h * (np.e - 1.0) / (np.exp(h) - 1.0)
+    assert abs(1.0 - res.values[-1] / tru) < 1e-10
+    # point evaluation through the domain mapping
+    xs = np.arange(32) / 32.0
+    got = np.asarray(prob.value(res.tt, xs[:, None]))
+    np.testing.assert_allclose(got, np.exp(xs), rtol=1e-10)
+
+
+def test_quantics_greedy_plateau_cured_by_refine():
+    """Deep-grid conditioning regression: exp(x) sin(6 pi x) at K=20 has
+    exact quantics rank 2, yet GREEDY pivots plateau near 4e-7 point
+    error at any rank or pivoting (full pivoting included — measured,
+    BENCH_NOTES 'Quantics pivot conditioning'); one maxvol replacement
+    sweep restores machine precision."""
+    from ttcross_tpu.apps import quantics_cross
+
+    K = 20
+    f = lambda x: jnp.exp(x) * jnp.sin(6 * np.pi * x)  # noqa: E731
+    xs = np.arange(64) / 64.0
+    tru = np.asarray(f(jnp.asarray(xs)))
+
+    prob, res = quantics_cross(f, K, max_rank=10, pivoting=2,
+                               accuracy=1e-13)
+    e_greedy = np.abs(np.asarray(prob.value(res.tt, xs[:, None])) - tru).max()
+    assert e_greedy > 1e-9  # the plateau is real (else drop the refine)
+
+    prob, res = quantics_cross(f, K, max_rank=10, pivoting=2,
+                               accuracy=1e-13, refine_sweeps=1)
+    e_ref = np.abs(np.asarray(prob.value(res.tt, xs[:, None])) - tru).max()
+    assert e_ref < 1e-12
+
+
+def test_quantics_app_domain_and_2d():
+    """Non-unit domain + dd=2: f(x, y) = exp(-(x^2 + y^2)) on [-3, 3)^2;
+    the weighted contraction approximates the Gaussian mass and grid_x
+    maps indices to coordinates consistently with tt.value."""
+    from ttcross_tpu.apps import make_quantics
+    from ttcross_tpu.cross import cross as _cross
+
+    K = 10
+    prob = make_quantics(lambda x: jnp.exp(-(x[:, 0] ** 2 + x[:, 1] ** 2)),
+                         K, dd=2, domain=(-3.0, 3.0))
+    assert prob.d == 2 * K and prob.n == 2
+    res = _cross(prob.fun, [prob.n] * prob.d, max_rank=8, pivoting=1,
+                 accuracy=1e-12, small_pivot=1e-14,
+                 quad=prob.quad_weights)
+    from math import erf
+
+    tru = (np.sqrt(np.pi) * erf(3.0)) ** 2  # (int_-3^3 e^{-x^2} dx)^2
+    # left-Riemann on 2^10 cells per axis: O(h) error ~ 6e-3; the cross
+    # itself is exact to ~1e-10 (checked via point values below)
+    assert abs(1.0 - res.values[-1] / tru) < 2e-2
+    xs = np.stack([np.linspace(-3, 2.9, 13), np.linspace(-2.9, 2.8, 13)],
+                  axis=1)
+    # snap to the dyadic grid like tt.value does
+    h = 6.0 / 2 ** K
+    snap = -3.0 + np.floor((xs + 3.0) / h) * h
+    got = np.asarray(prob.value(res.tt, snap))
+    tru_pt = np.exp(-(snap[:, 0] ** 2 + snap[:, 1] ** 2))
+    np.testing.assert_allclose(got, tru_pt, atol=1e-8)
