@@ -108,13 +108,24 @@ def test_cross_refine_sweeps_integration():
     assert r.ranks == g.ranks
 
 
-def test_refine_rejects_oversample_combo():
+def test_refine_composes_with_oversample():
+    """cross(oversample=k, refine_sweeps=j): cross at R+k, maxvol-replace
+    the pivots at the inflated rank, round back to R — the quality sweet
+    spot (C_6 8-key floors: greedy 12.1, oversample 13.1, composed 13.5;
+    BENCH_NOTES 'Pivot-quality ceiling')."""
     from ttcross_tpu.apps import make_mvn
 
-    prob = make_mvn(d=4, n=17)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        cross(prob.fun, [prob.n] * prob.d, max_rank=6, oversample=2,
-              refine_sweeps=1)
+    prob = make_mvn(d=4, n=33)
+    args = dict(quad=[prob.quad_weights] * prob.d, truth=1.0,
+                accuracy=500 * 2.2e-16)
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=6, oversample=2,
+                refine_sweeps=1, **args)
+    assert max(res.ranks) <= 6  # rounded back to the requested rank
+    greedy = cross(prob.fun, [prob.n] * prob.d, max_rank=6, **args)
+    # rank-6 truncation bounds this problem near 3 digits; the composed
+    # pass must land there and beat plain greedy (measured 2.88 vs 2.00)
+    assert -np.log10(res.errors[-1]) > 2.5
+    assert res.errors[-1] < greedy.errors[-1]
 
 
 @pytest.mark.slow

@@ -203,6 +203,15 @@ def test_parallel_oversample(rng):
     approx = np.asarray(tt.full(res.tt))
     assert np.abs(approx - dense).max() < 1e-10
 
+    # oversample composes with the maxvol replacement post-pass on the
+    # mesh like the single-device path (cross at R+k, refine, round)
+    res_c = cross_parallel(fun, [n] * d, max_rank=3, pivoting=1,
+                           accuracy=1e-12, mesh=mesh, oversample=2,
+                           refine_sweeps=1,
+                           quad=[np.full(n, 1.0 / n)] * d)
+    assert max(res_c.ranks) <= 3
+    assert np.abs(np.asarray(tt.full(res_c.tt)) - dense).max() < 1e-10
+
 
 def test_accchk_on_mesh(rng):
     """Mesh-sharded accchk matches the single-device statistics (the

@@ -1572,7 +1572,10 @@ def cross(
     pivot sets, re-selecting every bond's index sets by maximum volume.
     Breaks the greedy-append ceiling WITHOUT rank inflation (MVN d=6
     rank 20: 5.9 greedy -> ~6.8-7.2) at ~2 greedy-runs of extra
-    evaluations per sweep.  Mutually exclusive with oversample.
+    evaluations per sweep.  Composes with oversample: cross at
+    max_rank+oversample, refine the pivots there, round back (raises the
+    fixed-rank digit floor past either pass alone — C_6 envelope in
+    BENCH_NOTES "Pivot-quality ceiling").
     sweep_mode: "sequential" (default — the reference's exact bond visit
     order, dmrgg.f90:314-323) or "jacobi" — all bonds hunt concurrently
     against start-of-sweep factors, one sweep = a FIXED number of large
@@ -1607,9 +1610,13 @@ def cross(
     if oversample:
         if return_state or init_state is not None:
             raise ValueError("oversample is incompatible with state passing")
-        if refine_sweeps:
-            raise ValueError("refine_sweeps and oversample are mutually "
-                             "exclusive post-passes")
+        # refine_sweeps COMPOSES with oversample: cross at R+k, maxvol-
+        # replace the pivots at the inflated rank, then round to R.  The
+        # composition raises the fixed-rank digit FLOOR past either pass
+        # alone (C_6 r24 8-key envelope: greedy 12.1-12.9, oversample=6
+        # 13.1-14.5, +refine_sweeps=1 13.5-15.4) for ~2.4x the oversampled
+        # evaluations — the quality sweet spot where oversample alone is
+        # the efficiency one (BENCH_NOTES "Pivot-quality ceiling").
         r_over = max_rank + int(oversample)
         # an explicit chunk schedule must be extended to the inflated rank
         chunks_over = rank_chunks
@@ -1628,7 +1635,7 @@ def cross(
                     small_element=small_element, small_pivot=small_pivot,
                     rank_chunks=chunks_over, weighted_lottery=weighted_lottery,
                     sweep_mode=sweep_mode, adaptive=adaptive,
-                    rank_caps=caps_over)
+                    rank_caps=caps_over, refine_sweeps=refine_sweeps)
         return round_and_revalue(res, max_rank, quad, truth)
     se, sp = precision_thresholds(dtype)
     # acceptance thresholds are overridable: the per-dtype defaults
@@ -1642,8 +1649,8 @@ def cross(
     if weighted_lottery and quad is None:
         raise ValueError("weighted_lottery requires quad weights")
     if refine_sweeps:
-        # (oversample is falsy here: its branch above raises on
-        # refine_sweeps and otherwise returns)
+        # (oversample is falsy here: its branch above composes refine into
+        # the inflated recursion and returns)
         user_return_state = return_state
         # the refinement seeds from the pivot sets; the fused fast path
         # ships vip in its packed output, so only paths that cannot

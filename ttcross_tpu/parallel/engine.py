@@ -526,15 +526,15 @@ def cross_parallel(
             raise ValueError("adaptive gating requires pivoting >= 0")
         if sweep_mode == "jacobi":
             raise ValueError("adaptive gating applies to sequential sweeps")
-    if oversample and refine_sweeps:
-        raise ValueError("refine_sweeps and oversample are mutually "
-                         "exclusive refinements")
     if oversample:
+        # refine_sweeps composes like the single-device path: cross at
+        # R+k, maxvol-replace pivots at the inflated rank, round to R
         res = cross_parallel(fun, n, max_rank=max_rank + int(oversample),
                              accuracy=accuracy, pivoting=pivoting, quad=quad,
                              truth=truth, key=key, dtype=dtype, mesh=mesh,
                              verbose=verbose, mybonds=mybonds,
-                             sweep_mode=sweep_mode, adaptive=adaptive)
+                             sweep_mode=sweep_mode, adaptive=adaptive,
+                             refine_sweeps=refine_sweeps)
         from ..cross.engine import round_and_revalue
 
         return round_and_revalue(res, max_rank, quad, truth)
