@@ -274,7 +274,7 @@ def test_jacobi_counts_padded_evals():
 
 def test_jacobi_rejects_full_pivoting():
     prob = make_ising("C", m=4, n=17)
-    with pytest.raises(NotImplementedError, match="jacobi"):
+    with pytest.raises(ValueError, match="jacobi"):
         cross(prob.fun, [prob.n] * prob.d, max_rank=4, pivoting=-1,
               sweep_mode="jacobi")
 

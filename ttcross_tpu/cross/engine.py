@@ -1659,6 +1659,11 @@ def cross(
             return_state = True
     if sweep_mode not in ("sequential", "jacobi"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
+    if sweep_mode == "jacobi" and int(pivoting) < 0:
+        # fail at the API boundary, not as a NotImplementedError from
+        # engine tracing (the batched jacobi hunt has no full-pivoting
+        # superblock variant)
+        raise ValueError("sweep_mode='jacobi' requires pivoting >= 0")
     adaptive = 4096.0 if adaptive is True else float(adaptive)
     if adaptive > 0:
         if int(pivoting) < 0:
