@@ -71,3 +71,27 @@ def test_printers_smoke(rng, capsys):
     say_tt(tt.ones((3, 4)))
     out = capsys.readouterr().out
     assert "erank" in out and "(1,)" in out
+
+
+def test_print_config_no_backend_init():
+    """print_config must NEVER be the first device touch: it reports the
+    backend only if already initialized (a jax.devices() call in the
+    banner blocks forever when the axon tunnel is down, hanging even
+    host-only drivers like the mpmath tier before any work happens)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.')\n"
+        "from ttcross_tpu.utils import print_config\n"
+        "from jax._src import xla_bridge as xb\n"
+        "print_config(alpha=1, beta='x')\n"
+        "assert not xb._backends, 'banner initialized a jax backend'\n"
+        "print('BANNER_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd=str(__import__("pathlib").Path(__file__).parent.parent))
+    assert out.returncode == 0, out.stderr
+    assert "BANNER_OK" in out.stdout
+    assert "not initialized" in out.stdout

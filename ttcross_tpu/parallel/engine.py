@@ -345,7 +345,13 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
             hunt["pivot"][:, None],
             hunt["acol"].reshape(max_cnt, RN),
             hunt["arow"].reshape(max_cnt, RN),
-        ], axis=1) * live[:, None].astype(dt)
+        ], axis=1)
+        # mask dead window rows by SELECTION, not multiplication: a dead
+        # row's hunt outputs are explicitly garbage (jacobi_hunt's
+        # contract) and can be NaN (e.g. 0/0 in a fully-masked residual
+        # normalization) — NaN * 0 = NaN would poison the psum row for
+        # the bond's true owner and silently veto its acceptance forever
+        block = jnp.where(live[:, None], block, 0.0)
         rows = jax.lax.dynamic_update_slice(
             jnp.zeros((nb, W), dt), block, (base, jnp.int32(0)))
         extra = jnp.zeros((1, W), dt).at[0, me].set(amax_l)

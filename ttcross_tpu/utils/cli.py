@@ -37,11 +37,33 @@ def maybe_accchk(res, fun, nlot: int = 1 << 14) -> None:
           f"worst {chk['worst_index']}")
 
 
-def print_config(**kv) -> None:
-    """Driver banner (pattern of test_crs_*.f90 config summaries)."""
+def _device_banner():
+    """Describe the jax backend WITHOUT forcing its initialization.
+
+    jax.devices() initializes the backend on first call; on this image
+    that opens the axon TPU tunnel, which blocks indefinitely when the
+    tunnel is down.  A banner must never be the first device touch — a
+    host-only driver (the mpmath/qd tiers) would hang before doing any
+    work.  Report live devices only if some earlier compute already
+    initialized the backend."""
     import jax
 
+    try:
+        from jax._src import xla_bridge as xb
+
+        initialized = bool(xb._backends)
+    except Exception:  # private API moved: fall back to the direct query
+        initialized = True
+    if not initialized:
+        return "(backend not initialized; first compute selects it)", "-"
+    devs = jax.devices()
+    return str(devs[0]), len(devs)
+
+
+def print_config(**kv) -> None:
+    """Driver banner (pattern of test_crs_*.f90 config summaries)."""
     for k, v in kv.items():
         print(f"   {k:<10s}: {v}")
-    print(f"   {'device':<10s}: {jax.devices()[0]}")
-    print(f"   {'n devices':<10s}: {len(jax.devices())}")
+    dev, ndev = _device_banner()
+    print(f"   {'device':<10s}: {dev}")
+    print(f"   {'n devices':<10s}: {ndev}")
