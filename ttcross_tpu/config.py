@@ -17,13 +17,46 @@ import jax.numpy as jnp
 if not os.environ.get("TTCROSS_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# TTCROSS_PLATFORM=cpu[:N] forces the CPU backend (optionally with N
+# virtual devices for mesh runs) even though this image pre-imports jax
+# with the TPU plugin registered.  This is the escape hatch when the
+# device tunnel is unreachable — without it the first compute of any
+# driver blocks indefinitely — and the easy way to run the virtual-mesh
+# channel (`TTCROSS_PLATFORM=cpu:8 python drivers/... `).  Must run
+# before the backend initializes; if some earlier compute already
+# initialized it, we clear and re-select (safe: jax arrays made before
+# this import would be orphaned, but this module is imported at package
+# import time, before user arrays exist).
+_plat = os.environ.get("TTCROSS_PLATFORM", "").lower()
+if _plat:
+    name, _, ndev = _plat.partition(":")
+    if name == "cpu" and ndev:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={int(ndev)}")
+    jax.config.update("jax_platforms", name)
+    try:
+        from jax._src import xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            _xb._clear_backends()
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache: compiles on the TPU toolchain are slow
 # (tens of seconds); cache them across processes.  TPU backend only — CPU
 # executables AOT-cached by a remote compile service may target different
 # host CPU features (SIGILL risk on load).
 _cache_dir = os.environ.get("TTCROSS_COMPILE_CACHE",
                             os.path.expanduser("~/.cache/ttcross_tpu_xla"))
-if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+try:
+    _selected = (jax.config.read("jax_platforms") or "").lower()
+except Exception:
+    _selected = ""
+if ("cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+        or "cpu" in _selected):
+    # covers both the env route and in-process selection (TTCROSS_PLATFORM,
+    # bench --parallel, tests): a cached CPU AOT executable written on a
+    # different host can SIGILL on this one (cpu_aot_loader feature check)
     _cache_dir = None
 if _cache_dir:
     try:
