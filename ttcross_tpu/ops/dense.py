@@ -30,6 +30,18 @@ def onehot_rows(ind, n: int, dtype=jnp.float32):
     return (ind[..., None] == jnp.arange(n)).astype(dtype)
 
 
+def _mxu_backend() -> bool:
+    """True when the default backend has a matrix unit (TPU/axon): the
+    one-hot lookup trick trades gathers (the TPU slow path, ~ns/element)
+    for MXU matmuls; on CPU the trade INVERTS (three matmuls + f32 splits
+    cost ~30% of a C_32 sweep vs a native gather).  Resolved at trace
+    time — by then the backend is already selected and initialized."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return True
+
+
 def _f32_split3(x):
     """Exact 3-term f32 decomposition of normal-range f64: x = a + b + c
     bit-for-bit (24+24+5 mantissa bits cover f64's 53; each residual is
@@ -82,6 +94,11 @@ def table_lookup(table, ind):
     exponent range (entries more than ~75 orders below the table max
     round toward zero — the only precision caveat)."""
     table = jnp.asarray(table)
+    if not _mxu_backend():
+        # CPU: a native gather beats three one-hot matmuls (~30% of the
+        # C_32 sweep on the 1-core fallback host); mode="fill" reproduces
+        # the one-hot's out-of-range -> 0 contract exactly
+        return jnp.take(table, ind, axis=0, mode="fill", fill_value=0)
     oh = onehot_rows(ind, table.shape[0])
     s, sinv = _pow2_rescale(table)
     return _onehot_select(_f32_split3(table * s), oh, 0) * sinv
@@ -93,6 +110,9 @@ def row_lookup(mat, lin, axis: int = 0):
     same one-hot split-f32 MXU contraction (and power-of-2 range rescale)
     as table_lookup."""
     mat = jnp.asarray(mat)
+    if not _mxu_backend():
+        out = jnp.take(mat, lin, axis=axis, mode="fill", fill_value=0)
+        return out if axis == 0 else out.T
     oh = onehot_rows(lin, mat.shape[axis])
     s, sinv = _pow2_rescale(mat)
     return _onehot_select(_f32_split3(mat * s), oh, axis) * sinv
