@@ -1,6 +1,7 @@
+from .batch import BatchCrossResult, cross_batch
 from .engine import CrossResult, cross, make_engine
 from .maxvol import cross_maxvol, maxvol_refine
 from .state import CrossState, empty_state
 
 __all__ = ["CrossResult", "cross", "make_engine", "CrossState", "empty_state",
-           "cross_maxvol", "maxvol_refine"]
+           "cross_maxvol", "maxvol_refine", "cross_batch", "BatchCrossResult"]
