@@ -301,6 +301,42 @@ def main():
             rank_caps=caps, **args))
         line("ising_c6_chunked_capped", res, el, {"rank_caps": caps})
 
+    # ---- batch family line: L parameterized crosses fused into ONE
+    # device program (cross_batch) vs L single runs, steady state.  The
+    # speedup shows on the latency-bound TPU path (L small-op lanes cost
+    # close to one); on the CPU fallback lanes cost ~linearly, so the
+    # line is TPU-only unless forced (TTCROSS_BENCH_BATCH=1).
+    if (not fallback) or os.environ.get("TTCROSS_BENCH_BATCH") == "1":
+        from ttcross_tpu.apps.mvn import make_mvn_family
+        from ttcross_tpu.cross import cross_batch
+
+        lanes = 4
+        fam = make_mvn_family(d=6, n=65,
+                              corrs=np.linspace(0.2, 0.6, lanes))
+        bargs = dict(max_rank=14, accuracy=acc, pivoting=1,
+                     quad=[fam.quad_weights] * 6, truth=1.0)
+        resb, elb, _ = _timed(lambda: cross_batch(
+            fam.fun, [fam.n] * 6, fam.params, **bargs))
+        resb, elb, _ = _timed(lambda: cross_batch(      # steady (compiled)
+            fam.fun, [fam.n] * 6, fam.params, **bargs))
+        singles = 0.0
+        for lk in range(lanes):
+            par = {k: v[lk] for k, v in fam.params.items()}
+            fun1 = (lambda p: lambda ind: fam.fun(ind, p))(par)
+            _, el1, _ = _timed(lambda: cross(fun1, [fam.n] * 6, **bargs))
+            _, el1, _ = _timed(lambda: cross(fun1, [fam.n] * 6, **bargs))
+            singles += el1
+        worst = min(-np.log10(r.errors[-1]) for r in resb if r.errors)
+        out = {"metric": "mvn_family_batch", "lanes": lanes,
+               "batch_wall_s": round(elb, 3),
+               "singles_wall_s": round(singles, 3),
+               "family_speedup": round(singles / elb, 2),
+               "worst_lane_digits": round(float(worst), 2),
+               "n_evals": int(resb.neval)}
+        if fallback:
+            out["tpu_fallback"] = True
+        _emit(out)
+
     # ---- HEADLINE (LAST LINE): C_6 with the oversample=6 cross-and-round
     # post-pass — recovers near-TT-SVD accuracy at rank 24 (~14.3 digits vs
     # ~12.5 greedy) for ~1.5x the evaluations
