@@ -105,3 +105,37 @@ def test_batch_validates_inputs(rng):
     with pytest.raises(ValueError, match="jacobi"):
         cross_batch(fun, [4] * 3, jnp.zeros((2,)), max_rank=2,
                     pivoting=-1, sweep_mode="jacobi")
+
+
+def test_batch_export_cache_reuses_across_param_values(rng, tmp_path, monkeypatch):
+    """The batch artifact is keyed by integrand CODE (jaxpr + consts) and
+    parameter SHAPES — sweeping parameter values must reuse one on-disk
+    artifact (params are runtime inputs of the exported program), and the
+    cached run must agree with the uncached engine."""
+    monkeypatch.setenv("TTCROSS_EXPORT_CACHE", "1")
+    monkeypatch.setenv("TTCROSS_EXPORT_CACHE_DIR", str(tmp_path))
+    from ttcross_tpu.cross import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_RUNNER_CACHE", {})
+
+    L, d, n, r = 2, 3, 5, 2
+    cores_a = _lane_cores(rng, L, d, n, r)
+    fun, _ = _family_fun(cores_a)
+    kw = dict(max_rank=r + 1, pivoting=1, accuracy=1e-12, key=5)
+
+    res_a = cross_batch(fun, [n] * d, cores_a, **kw)
+    files_after_a = sorted(p.name for p in tmp_path.glob("*.bin"))
+    assert len(files_after_a) == 1, "one artifact for the family"
+
+    # same code + shapes, DIFFERENT parameter values -> same artifact
+    monkeypatch.setattr(batch_mod, "_RUNNER_CACHE", {})
+    cores_b = [c + 0.25 * jnp.asarray(np.ones(c.shape)) for c in cores_a]
+    res_b = cross_batch(fun, [n] * d, cores_b, **kw)
+    assert sorted(p.name for p in tmp_path.glob("*.bin")) == files_after_a
+
+    for lane in range(L):
+        dense = tt.full(tt.TT(tuple(c[lane] for c in cores_b)))
+        got = tt.full(res_b[lane].tt)
+        err = float(jnp.max(jnp.abs(got - dense))) / float(jnp.max(jnp.abs(dense)))
+        assert err < 1e-10, f"cached-artifact lane {lane}: err {err}"
+    assert res_a[0].values == res_b[0].values == []

@@ -75,13 +75,20 @@ _RUNNER_CACHE: dict = {}
 _RUNNER_PINS: list = []  # keep integrand objects alive so id() keys stay valid
 
 
-def _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy):
+def _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy,
+                      example_args):
     """Memoized jit(vmap(full cross)) — repeated cross_batch calls with the
-    same integrand/config reuse the compiled executable (get_engine's
-    memoization scheme; the jit additionally caches per params shape)."""
+    same integrand/config/lane-shape reuse the compiled executable
+    (get_engine's memoization scheme), and the export cache skips the
+    platform's slow lowering for fresh processes (keyed by integrand CODE
+    — jaxpr + consts — so parameter-VALUE sweeps reuse one artifact)."""
+    keys, w, params = example_args
+    shapes = tuple((tuple(np.shape(leaf)), str(jnp.result_type(leaf)))
+                   for leaf in jax.tree_util.tree_leaves(params))
+    treedef = jax.tree_util.tree_structure(params)
     target = getattr(fun, "__self__", fun)
     key = (id(target), getattr(fun, "__name__", None), cfg,
-           max_sweeps, with_quad, accuracy)
+           max_sweeps, with_quad, accuracy, shapes, str(treedef))
     runner = _RUNNER_CACHE.get(key)
     if runner is None:
         def run_one(k, w, par):
@@ -91,9 +98,15 @@ def _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy):
             kit = make_engine(lambda ind: fun(ind, par), cfg)
             return kit.make_full_fn(max_sweeps, with_quad, accuracy)(k, w)
 
+        runner = jax.jit(jax.vmap(run_one, in_axes=(0, None, 0)))
+        from . import export_cache
+
+        if export_cache.enabled():
+            runner = export_cache.cached_batch_fn(
+                runner, fun, cfg, max_sweeps, with_quad, accuracy,
+                example_args, params)
         _RUNNER_PINS.append(target)
-        runner = _RUNNER_CACHE[key] = jax.jit(
-            jax.vmap(run_one, in_axes=(0, None, 0)))
+        _RUNNER_CACHE[key] = runner
     return runner
 
 
@@ -174,7 +187,8 @@ def cross_batch(
         max_sweeps = max_rank - 1
     S = max_sweeps + 1
 
-    runner = _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy)
+    runner = _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy,
+                               (keys, w, params))
 
     t0 = time.perf_counter()
     solved, packed = runner(keys, w, params)

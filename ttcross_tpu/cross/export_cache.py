@@ -96,6 +96,76 @@ def _module_hash(modules) -> str:
     return h.hexdigest()[:16]
 
 
+def _code_fingerprint(fun2, cfg, params) -> str:
+    """Fingerprint of a PARAMETERIZED integrand `fun2(ind, par)` by its
+    traced jaxpr + captured constants + parameter shapes — NOT by values
+    at the concrete params (a user sweeping parameter values must hit the
+    same artifact: the params are runtime INPUTS of the exported program,
+    so only the integrand's code shapes the artifact)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0x7C5)
+    ind = np.stack([rng.integers(0, nj, size=64) for nj in cfg.n],
+                   axis=1).astype(np.int32)
+    par0 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[0], params)
+    closed = jax.make_jaxpr(fun2)(jnp.asarray(ind), par0)
+    h = hashlib.sha256(str(closed).encode())
+    for c in closed.consts:
+        # jaxpr printing elides large constants (two integrands differing
+        # only in a captured node table would collide on text alone)
+        h.update(np.asarray(c).tobytes())
+    for leaf in jax.tree_util.tree_leaves(params):
+        h.update(str((tuple(np.shape(leaf)), str(jnp.result_type(leaf)))).encode())
+    return h.hexdigest()[:16]
+
+
+def _serve(key: str, trace_fn, example_args):
+    """Common disk machinery: deserialize the artifact at the hashed key,
+    or export trace_fn on example_args and persist it."""
+    import jax
+    from jax import export
+
+    path = os.path.join(
+        _cache_dir(), hashlib.sha256(key.encode()).hexdigest()[:24] + ".bin")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            exp = export.deserialize(f.read())
+    else:
+        exp = export.export(trace_fn)(*example_args)
+        blob = exp.serialize()
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    return jax.jit(exp.call)
+
+
+def cached_batch_fn(batch_fn, fun2, cfg, max_sweeps: int, with_quad: bool,
+                    accuracy, example_args, params):
+    """Export-cache wrapper for the cross_batch runner (batch.py): the
+    vmapped whole-family executable, keyed by integrand CODE (jaxpr +
+    consts), config, lane count and parameter shapes — parameter VALUES
+    are runtime inputs, so a family sweep reuses one artifact."""
+    import jax
+
+    try:
+        from . import batch as batch_mod
+
+        L = int(np.shape(jax.tree_util.tree_leaves(params)[0])[0])
+        dev = jax.devices()[0]
+        key = "|".join([
+            _source_hash(), _module_hash((batch_mod,)),
+            _code_fingerprint(fun2, cfg, params), repr(cfg),
+            f"batch:{max_sweeps}:{with_quad}:{accuracy}:L{L}",
+            jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
+        ])
+        return _serve(key, batch_fn, example_args)
+    except Exception as e:  # pragma: no cover - fallback must never fail
+        warnings.warn(f"ttcross export cache disabled for this call: {e!r}")
+        return batch_fn
+
+
 def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
                    accuracy, example_args, kind: str = "full",
                    extra_src_modules=()):
@@ -129,19 +199,7 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
             f"{kind}:{max_sweeps}:{with_quad}:{accuracy}",
             jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
         ] + ([_module_hash(extra_src_modules)] if extra_src_modules else []))
-        path = os.path.join(
-            _cache_dir(), hashlib.sha256(key.encode()).hexdigest()[:24] + ".bin")
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                exp = export.deserialize(f.read())
-        else:
-            exp = export.export(full_fn)(*example_args)
-            blob = exp.serialize()
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, path)
-        return jax.jit(exp.call)
+        return _serve(key, full_fn, example_args)
     except Exception as e:  # pragma: no cover - fallback must never fail
         warnings.warn(f"ttcross export cache disabled for this call: {e!r}")
         return full_fn
