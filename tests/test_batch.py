@@ -139,3 +139,32 @@ def test_batch_export_cache_reuses_across_param_values(rng, tmp_path, monkeypatc
         err = float(jnp.max(jnp.abs(got - dense))) / float(jnp.max(jnp.abs(dense)))
         assert err < 1e-10, f"cached-artifact lane {lane}: err {err}"
     assert res_a[0].values == res_b[0].values == []
+
+
+def test_batch_lane_mesh_matches_unsharded(rng):
+    """Lanes sharded over a device mesh (the data-parallel axis the
+    reference lacks) must reproduce the unsharded family: no cross-lane
+    collectives exist, so per-lane values agree to round-off."""
+    import jax
+    from jax.sharding import Mesh
+
+    L, d, n, r = 4, 3, 5, 2
+    cores = _lane_cores(rng, L, d, n, r)
+    fun, _ = _family_fun(cores)
+    quad = [np.abs(rng.standard_normal(n)) + 0.1 for _ in range(d)]
+    kw = dict(max_rank=r + 1, pivoting=1, accuracy=1e-12, quad=quad, key=11)
+
+    base = cross_batch(fun, [n] * d, cores, **kw)
+    for ndev in (2, 4):
+        mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("lane",))
+        res = cross_batch(fun, [n] * d, cores, mesh=mesh, **kw)
+        for lane in range(L):
+            a, b = res[lane].values[-1], base[lane].values[-1]
+            assert abs(1.0 - a / b) < 1e-12, f"ndev={ndev} lane {lane}"
+            dense = tt.full(tt.TT(tuple(c[lane] for c in cores)))
+            err = float(jnp.max(jnp.abs(tt.full(res[lane].tt) - dense)))
+            assert err < 1e-9 * float(jnp.max(jnp.abs(dense)))
+
+    with pytest.raises(ValueError, match="divisible"):
+        mesh = Mesh(np.asarray(jax.devices()[:3]), ("lane",))
+        cross_batch(fun, [n] * d, cores, mesh=mesh, **kw)

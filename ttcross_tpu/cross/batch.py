@@ -76,7 +76,7 @@ _RUNNER_PINS: list = []  # keep integrand objects alive so id() keys stay valid
 
 
 def _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy,
-                      example_args):
+                      example_args, mesh=None):
     """Memoized jit(vmap(full cross)) — repeated cross_batch calls with the
     same integrand/config/lane-shape reuse the compiled executable
     (get_engine's memoization scheme), and the export cache skips the
@@ -88,7 +88,8 @@ def _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy,
     treedef = jax.tree_util.tree_structure(params)
     target = getattr(fun, "__self__", fun)
     key = (id(target), getattr(fun, "__name__", None), cfg,
-           max_sweeps, with_quad, accuracy, shapes, str(treedef))
+           max_sweeps, with_quad, accuracy, shapes, str(treedef),
+           id(mesh) if mesh is not None else None)
     runner = _RUNNER_CACHE.get(key)
     if runner is None:
         def run_one(k, w, par):
@@ -101,7 +102,10 @@ def _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy,
         runner = jax.jit(jax.vmap(run_one, in_axes=(0, None, 0)))
         from . import export_cache
 
-        if export_cache.enabled():
+        if mesh is None and export_cache.enabled():
+            # the mesh path skips the export cache (a multi-device
+            # jax.export cannot be re-called under plain jit — same
+            # limitation as the distributed engine's cache)
             runner = export_cache.cached_batch_fn(
                 runner, fun, cfg, max_sweeps, with_quad, accuracy,
                 example_args, params)
@@ -127,6 +131,7 @@ def cross_batch(
     small_pivot: float | None = None,
     sweep_mode: str = "sequential",
     use_pallas: bool = False,
+    mesh=None,
 ) -> BatchCrossResult:
     """Cross-interpolate a FAMILY of black-box tensors in one device program.
 
@@ -137,6 +142,14 @@ def cross_batch(
     lane axis of size L (lane l's integrand sees `leaf[l]`).
     truth: optional analytic value — scalar (shared) or length-L sequence.
     Other arguments as `cross()` (shared across lanes).
+
+    mesh: optional 1-axis `jax.sharding.Mesh` — lanes are SHARDED over
+    the mesh axis (L divisible by the device count), each device running
+    its lane block of the whole fused engine with ZERO inter-device
+    collectives: a data-parallel axis the reference does not have
+    (SURVEY §2.5 — its only distributed strategy splits the TT chain).
+    Composable in principle with the bond-mesh engine for 2-D
+    (lane x bond) scaling.
 
     Returns a BatchCrossResult of L CrossResults.  Post-passes that
     reshape individual runs (oversample / refine_sweeps / rank_chunks /
@@ -187,8 +200,27 @@ def cross_batch(
         max_sweeps = max_rank - 1
     S = max_sweeps + 1
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if len(mesh.axis_names) != 1:
+            raise ValueError("cross_batch mesh must have exactly one axis")
+        ndev = mesh.devices.size
+        if L % ndev:
+            raise ValueError(f"lane count {L} must be divisible by the "
+                             f"mesh's {ndev} devices")
+        ax = mesh.axis_names[0]
+
+        def _shard(a):
+            a = jnp.asarray(a)
+            spec = PartitionSpec(ax, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        keys = _shard(keys)
+        params = jax.tree_util.tree_map(_shard, params)
+
     runner = _get_batch_runner(fun, cfg, max_sweeps, with_quad, accuracy,
-                               (keys, w, params))
+                               (keys, w, params), mesh=mesh)
 
     t0 = time.perf_counter()
     solved, packed = runner(keys, w, params)
