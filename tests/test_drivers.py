@@ -65,3 +65,14 @@ def test_crs_ising_qde_driver():
     out = run_driver("crs_ising_qde.py", 4, 17, 10, 1, timeout=300)
     digits = float(out.rsplit("correct digits:", 1)[1].split()[0])
     assert digits >= 11, out
+
+
+@pytest.mark.slow
+def test_crs_batch_driver():
+    """Family driver smoke: 3 MVN correlation lanes in one fused program,
+    per-lane digit report."""
+    out = run_driver("crs_batch.py", 4, 33, 8, 3, timeout=900)
+    assert out.count("corr ") == 3
+    digits = [float(line.rsplit("correct digits", 1)[1].split()[0])
+              for line in out.splitlines() if "correct digits" in line]
+    assert len(digits) == 3 and min(digits) > 2.0, out
