@@ -102,6 +102,9 @@ def test_batch_validates_inputs(rng):
     with pytest.raises(ValueError, match="lane-axis"):
         cross_batch(fun, [4] * 3, [jnp.zeros((2, 3)), jnp.zeros((3,))],
                     max_rank=2)
+    with pytest.raises(ValueError, match="0-d leaf"):
+        cross_batch(fun, [4] * 3, {"a": jnp.zeros((2, 3)), "b": jnp.float64(1.0)},
+                    max_rank=2)
     with pytest.raises(ValueError, match="jacobi"):
         cross_batch(fun, [4] * 3, jnp.zeros((2,)), max_rank=2,
                     pivoting=-1, sweep_mode="jacobi")

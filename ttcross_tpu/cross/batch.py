@@ -169,6 +169,11 @@ def cross_batch(
     leaves = jax.tree_util.tree_leaves(params)
     if not leaves:
         raise ValueError("params must contain at least one array leaf")
+    for leaf in leaves:
+        if np.ndim(leaf) == 0:
+            raise ValueError("every params leaf needs a leading lane axis; "
+                             "got a 0-d leaf (broadcast shared values to "
+                             "(L, ...) or close over them in fun)")
     L = int(np.shape(leaves[0])[0])
     for leaf in leaves:
         if int(np.shape(leaf)[0]) != L:
