@@ -27,9 +27,32 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # persistent XLA compilation cache: the suite is compile-dominated (dozens
 # of engine configs at ~2-10 s each on CPU); repeat invocations hit the
-# cache and run in roughly half the time
+# cache and run in roughly half the time.  The dir is keyed by a host-CPU
+# fingerprint: the round runner migrates between hosts, and loading a CPU
+# AOT executable compiled for a different microarchitecture segfaults in
+# backend_compile_and_load (observed live 2026-08-18; same failure class
+# as the TTCROSS_PLATFORM=cpu cache SIGILL)
+import hashlib
+import platform
+
+
+def _host_fingerprint() -> str:
+    bits = [platform.machine(), str(os.cpu_count())]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    bits.append(line.strip())
+                    if len(bits) >= 4:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/ttcross_tpu_test_xla"))
+                  os.path.expanduser(
+                      f"~/.cache/ttcross_tpu_test_xla_{_host_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:

@@ -76,3 +76,15 @@ def test_crs_batch_driver():
     digits = [float(line.rsplit("correct digits", 1)[1].split()[0])
               for line in out.splitlines() if "correct digits" in line]
     assert len(digits) == 3 and min(digits) > 2.0, out
+
+
+@pytest.mark.slow
+def test_crs_greeks_driver():
+    """Frozen-skeleton Greeks driver smoke: the jax.grad sensitivity must
+    match the driver's own central-FD column."""
+    out = run_driver("crs_greeks.py", 4, 33, 12, 3, timeout=900)
+    line = [ln for ln in out.splitlines() if "d mass / d rho" in ln][0]
+    g = float(line.split("=")[1].split()[0])
+    fd = float(line.rsplit("check", 1)[1].split()[0])
+    assert abs(g - fd) < 1e-5 * max(1.0, abs(g)), out
+    assert out.count("d/drho") == 3, out

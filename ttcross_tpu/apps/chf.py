@@ -22,17 +22,15 @@ import numpy as np
 from ..tt import TT
 from .cos import cos_approximate
 
-__all__ = ["basket_chf", "basket_pdf"]
+__all__ = ["basket_chf", "basket_chf_pair", "basket_pdf", "basket_pdf_pair"]
 
 
-def basket_chf(t: TT, nodes, weights, n_terms: int = 32,
-               lower: float = 0.0, upper: float = 300.0) -> jnp.ndarray:
-    """phi_0..phi_{K-1} of the basket sum (1/d) sum_p e^{X_p} under the
-    crossed density TT (test_crs_chf.f90:153-168).
-
-    All K contractions run as ONE batched chain: the per-mode weight matrix
-    W (K, n) replaces the reference's K sequential ztt_quad collectives.
-    Complex arithmetic is explicit real/imag pair math (TPU-safe)."""
+def basket_chf_pair(t: TT, nodes, weights, n_terms: int = 32,
+                    lower: float = 0.0, upper: float = 300.0):
+    """(Re phi_k, Im phi_k) of the basket-sum CHF — the fully TRACED core
+    of basket_chf (real/imag pair arithmetic end to end, TPU-safe and
+    jax.grad-able: differentiable Greeks of CHF/COS quantities flow
+    through a skeleton_tt_fn-built train)."""
     d = t.d
     nodes = np.asarray(nodes)
     weights = np.asarray(weights)
@@ -50,7 +48,30 @@ def basket_chf(t: TT, nodes, weights, n_terms: int = 32,
         mi = jnp.einsum("inj,kn->kij", g, wi)
         vr, vi = (jnp.einsum("kxi,kij->kxj", vr, mr) - jnp.einsum("kxi,kij->kxj", vi, mi),
                   jnp.einsum("kxi,kij->kxj", vr, mi) + jnp.einsum("kxi,kij->kxj", vi, mr))
-    return np.asarray(vr[:, 0, 0]) + 1j * np.asarray(vi[:, 0, 0])
+    return vr[:, 0, 0], vi[:, 0, 0]
+
+
+def basket_chf(t: TT, nodes, weights, n_terms: int = 32,
+               lower: float = 0.0, upper: float = 300.0) -> np.ndarray:
+    """phi_0..phi_{K-1} of the basket sum (1/d) sum_p e^{X_p} under the
+    crossed density TT (test_crs_chf.f90:153-168), as host complex values.
+
+    All K contractions run as ONE batched chain: the per-mode weight matrix
+    W (K, n) replaces the reference's K sequential ztt_quad collectives.
+    Complex arithmetic is explicit real/imag pair math (TPU-safe)."""
+    vr, vi = basket_chf_pair(t, nodes, weights, n_terms, lower, upper)
+    return np.asarray(vr) + 1j * np.asarray(vi)
+
+
+def basket_pdf_pair(t: TT, nodes, weights, xs, n_terms: int = 32,
+                    lower: float = 0.0, upper: float = 300.0) -> jnp.ndarray:
+    """Fully traced basket-sum density: CHF pair chain + COS
+    reconstruction without leaving the device — jax.grad/vmap flow
+    through (vega and other density Greeks via skeleton_tt_fn)."""
+    from .cos import cos_approximate_pair
+
+    phir, phii = basket_chf_pair(t, nodes, weights, n_terms, lower, upper)
+    return cos_approximate_pair(xs, phir, phii, lower, upper)
 
 
 def basket_pdf(t: TT, nodes, weights, xs, n_terms: int = 32,

@@ -24,6 +24,7 @@ __all__ = [
     "CosCoefficients",
     "make_cos_coefficients",
     "cos_approximate",
+    "cos_approximate_pair",
 ]
 
 
@@ -92,6 +93,19 @@ def make_cos_coefficients(d: int, mu, sigma, lower: float, upper: float) -> CosC
     return CosCoefficients(d=d, mu=np.asarray(mu, dtype=np.float64),
                            sigma=np.asarray(sigma, dtype=np.float64),
                            lower=float(lower), upper=float(upper))
+
+
+def cos_approximate_pair(xs, phir, phii, lower: float, upper: float):
+    """Traced COS reconstruction from a CHF real/imag PAIR (phir, phii)
+    (K,) — the jax.grad-able twin of cos_approximate (which converts to
+    host numpy complex); K is the static pair length."""
+    xs = jnp.atleast_1d(jnp.asarray(xs, dtype=jnp.float64))
+    K = phir.shape[0]
+    omega = jnp.asarray(np.arange(K, dtype=np.float64) * np.pi / (upper - lower))
+    coeff = 2.0 / (upper - lower) * (phir * jnp.cos(omega * lower)
+                                     + phii * jnp.sin(omega * lower))
+    coeff = coeff * jnp.where(jnp.arange(K) == 0, 0.5, 1.0)
+    return jnp.cos(omega[None, :] * (xs[:, None] - lower)) @ coeff
 
 
 def cos_approximate(xs, phis, lower: float, upper: float, n_terms: int | None = None):

@@ -1,0 +1,199 @@
+"""Differentiable frozen-skeleton re-evaluation: parameter sensitivities
+(Greeks) of TT-cross integrals via ``jax.grad``.
+
+The reference threads an opaque parameter block ``par`` into every
+integrand call (``fun(m, ind, n, par)``, dmrgg.f90:18) but can only ever
+EVALUATE at one parameter value per run — sensitivities mean finite
+differences of whole fresh crosses (new pivots each time, so the
+difference quotient is polluted by pivot-path noise on top of costing a
+full cross per probe).  A JAX-native engine can do structurally better:
+
+1. Run the cross ONCE at a nominal parameter value and freeze its
+   *skeleton* — the per-bond pivot index sets I_b, J_b that the greedy
+   engine selected (decoded from the vip chains, dmrgg.f90:47-48 /
+   cross/chains.py).
+2. Re-evaluate the CUR interpolant's data at any parameter value θ:
+   raw fibers G_c(θ) = A_θ(I_{c-1}, i_c, J_c) and pivot submatrices
+   Ahat_b(θ) = A_θ(I_b, J_b), all in ONE batched integrand call, then
+
+       val(θ) = Π_c [ G_c(θ)·w_c ] · Ahat_c(θ)^{-1}
+
+   with differentiable linear solves.  ``jax.grad(val)(θ)`` is then the
+   EXACT derivative of the interpolant — the standard frozen-skeleton
+   sensitivity of cross approximations, accurate to the interpolation
+   error as long as the skeleton stays informative near θ — and
+   ``jax.vmap(val)`` sweeps a whole parameter family at fixed skeleton
+   for the cost of fiber re-evaluations (no hunts, no pivot growth).
+
+This is the differentiable twin of the extended-precision refinement
+(cross/refine.py re-evaluates the same objects in float128; here the
+re-evaluation is traced, so AD and batching transforms apply).
+
+Integrand protocol (matches cross_batch): ``fun(ind (B, d) int32, params)
+-> (B,)`` where ``params`` is any pytree of arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .chains import pivot_index_sets
+
+__all__ = ["Skeleton", "extract_skeleton", "skeleton_value_fn",
+           "skeleton_tt_fn"]
+
+
+@dataclass(frozen=True)
+class Skeleton:
+    """Frozen cross skeleton: every multi-index the interpolant samples.
+
+    ind_all stacks the d core-fiber blocks then the d-1 pivot-submatrix
+    blocks; the *_shapes lists record how to split and reshape the one
+    batched integrand result.  All entries are host numpy (trace-time
+    constants — the skeleton is frozen by construction)."""
+
+    ind_all: np.ndarray                    # (B_total, d) int32
+    core_shapes: tuple[tuple[int, int, int], ...]   # (r_l, n_c, r_r) per core
+    ahat_shapes: tuple[int, ...]           # r per bond
+    n: tuple[int, ...]
+    ranks: tuple[int, ...]                 # bond ranks, length d+1
+
+    @property
+    def d(self) -> int:
+        return len(self.n)
+
+    @property
+    def n_samples(self) -> int:
+        return int(self.ind_all.shape[0])
+
+
+def extract_skeleton(state_or_result, n: Sequence[int]) -> Skeleton:
+    """Decode a completed cross into a Skeleton.
+
+    state_or_result: a CrossResult from ``cross(..., return_state=True)``
+    (its ``.state`` is used) or a CrossState directly.  n: per-mode sizes.
+    """
+    state = getattr(state_or_result, "state", None) or state_or_result
+    if getattr(state, "vip", None) is None:
+        raise ValueError(
+            "extract_skeleton needs the engine state: run "
+            "cross(..., return_state=True) or pass a CrossState")
+    n = tuple(int(x) for x in n)
+    d = len(n)
+    rk = np.asarray(state.rk)
+    I, J = pivot_index_sets(state.vip, rk)
+
+    blocks: list[np.ndarray] = []
+    core_shapes: list[tuple[int, int, int]] = []
+    for c in range(d):
+        rl, rr = int(rk[c]), int(rk[c + 1])
+        pre = np.asarray(I[c - 1] if c > 0 else [()], np.int32).reshape(rl, c)
+        suf = np.asarray(J[c] if c < d - 1 else [()], np.int32).reshape(rr, d - c - 1)
+        ind = np.empty((rl, n[c], rr, d), np.int32)
+        ind[..., :c] = pre[:, None, None, :]
+        ind[..., c] = np.arange(n[c], dtype=np.int32)[None, :, None]
+        ind[..., c + 1:] = suf[None, None, :, :]
+        blocks.append(ind.reshape(-1, d))
+        core_shapes.append((rl, n[c], rr))
+
+    ahat_shapes: list[int] = []
+    for b in range(d - 1):
+        r = int(rk[b + 1])
+        pre = np.asarray(I[b], np.int32).reshape(r, b + 1)
+        suf = np.asarray(J[b], np.int32).reshape(r, d - b - 1)
+        ind = np.empty((r, r, d), np.int32)
+        ind[..., :b + 1] = pre[:, None, :]
+        ind[..., b + 1:] = suf[None, :, :]
+        blocks.append(ind.reshape(-1, d))
+        ahat_shapes.append(r)
+
+    return Skeleton(ind_all=np.concatenate(blocks, axis=0),
+                    core_shapes=tuple(core_shapes),
+                    ahat_shapes=tuple(ahat_shapes),
+                    n=n, ranks=tuple(int(x) for x in rk))
+
+
+def _split_samples(skel: Skeleton, vals: jax.Array):
+    """Split the one batched integrand result back into cores G_c and
+    pivot submatrices Ahat_b."""
+    cores, ahats, off = [], [], 0
+    for (rl, nc, rr) in skel.core_shapes:
+        cnt = rl * nc * rr
+        cores.append(vals[off:off + cnt].reshape(rl, nc, rr))
+        off += cnt
+    for r in skel.ahat_shapes:
+        ahats.append(vals[off:off + r * r].reshape(r, r))
+        off += r * r
+    return cores, ahats
+
+
+def skeleton_value_fn(fun: Callable, skel: Skeleton,
+                      weights: Sequence | None = None) -> Callable:
+    """Build ``vfn(params) -> scalar``: the quadrature value of the
+    frozen-skeleton interpolant at parameter value ``params``.
+
+    fun: ``fun(ind (B, d) int32, params) -> (B,)`` traced integrand.
+    weights: per-mode quadrature weight vectors (w_c of length n_c);
+    None sums all entries (dtt_quad's no-quad semantics,
+    dmrgg.f90:1310-1320).  Complex weights are accepted (the ztt_quad
+    analogue) but ``jax.grad`` needs a real-valued output — use
+    holomorphic=True or split real/imag for complex contractions.
+
+    The returned function is jit-compatible, ``jax.grad``-able in
+    ``params``, and ``jax.vmap``-able for parameter sweeps.  Plain f64
+    chain product — for extreme-dynamic-range integrands (Ising D/E
+    tails) rescale the integrand as the reference drivers do
+    (test_crs_ising.f90:135-144)."""
+    ind_all = jnp.asarray(skel.ind_all)
+    d = skel.d
+    if weights is None:
+        w_list = [jnp.ones((nc,), jnp.float64) for nc in skel.n]
+    else:
+        w_list = [jnp.asarray(w) for w in weights]
+
+    def vfn(params):
+        vals = fun(ind_all, params)
+        cores, ahats = _split_samples(skel, vals)
+        row = None
+        for c in range(d):
+            gw = jnp.einsum("anb,n->ab", cores[c], w_list[c])
+            row = gw if row is None else row @ gw
+            if c < d - 1:
+                # row <- row @ Ahat_c^{-1} as a differentiable solve
+                row = jnp.linalg.solve(ahats[c].T, row.T).T
+        return row[0, 0]
+
+    return vfn
+
+
+def skeleton_tt_fn(fun: Callable, skel: Skeleton) -> Callable:
+    """Build ``tfn(params) -> TT``: the frozen-skeleton CUR interpolant as
+    a proper TT at parameter value ``params`` (cores with the pivot-
+    submatrix inverses folded in on the right, the dtt_lua convention,
+    dmrgg.f90:1169-1258).  Differentiable in params — downstream tt.ops
+    contractions (value/contract/dot) stay traced, so Greeks of derived
+    quantities (CHF values, COS densities) flow through."""
+    from ..tt.types import TT
+
+    ind_all = jnp.asarray(skel.ind_all)
+    d = skel.d
+
+    def tfn(params):
+        vals = fun(ind_all, params)
+        cores, ahats = _split_samples(skel, vals)
+        out = []
+        for c in range(d):
+            g = cores[c]
+            if c < d - 1:
+                rl, nc, rr = g.shape
+                g = jnp.linalg.solve(ahats[c].T, g.reshape(-1, rr).T).T
+                g = g.reshape(rl, nc, rr)
+            out.append(g)
+        return TT(tuple(out))
+
+    return tfn
