@@ -210,6 +210,38 @@ def test_pytree_params_vector_greek():
         assert abs(float(g[c]) - fd) < 1e-6 * max(1.0, abs(fd))
 
 
+def test_calibration_newton():
+    """Inverse problem through the surrogate: recover the correlation
+    that produces an observed mass by Newton iteration on the frozen-
+    skeleton value — every step is one re-evaluation + one jax.grad,
+    no new crosses (the reference would need a full cross per function
+    AND per derivative probe)."""
+    d, n, rho0 = 4, 33, 0.5
+    a, b = MVN_BOX
+    x, w = lgwt(n)
+    x, w = map_to_interval(x, w, a, b)
+    x, w = jnp.asarray(x), jnp.asarray(w)
+    fun = _mvn_rho_fun(x, d)
+    res = cross(lambda i: fun(i, rho0), [n] * d, max_rank=14,
+                accuracy=1e-10, pivoting=1, quad=[np.asarray(w)] * d,
+                key=5, return_state=True)
+    skel = extract_skeleton(res, [n] * d)
+    vfn = skeleton_value_fn(fun, skel, weights=[w] * d)
+    gfn = jax.grad(vfn)
+
+    rho_true = 0.62
+    target = float(vfn(jnp.float64(rho_true)))
+    rho = jnp.float64(0.45)
+    for _ in range(30):
+        r = float(vfn(rho)) - target
+        if abs(r) < 1e-14:
+            break
+        # clamp into the valid equicorrelation range: the mass is very
+        # flat at small rho, so a raw Newton step can overshoot past 1
+        rho = jnp.clip(rho - r / float(gfn(rho)), 0.05, 0.74)
+    assert abs(float(rho) - rho_true) < 1e-9
+
+
 @pytest.mark.slow
 def test_basket_density_vega():
     """Greeks of the full finance pipeline: d pdf(x) / d sigma of the
