@@ -83,6 +83,10 @@ def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
+class _SkipConfig(Exception):
+    """Internal marker: config intentionally skipped (headline-only mode)."""
+
+
 def warmup_probe():
     """Child mode: fresh-process time-to-first-result on the north star."""
     t0 = time.time()
@@ -145,10 +149,14 @@ def _timed(fn):
 def main():
     # 0) watchdog: is the TPU tunnel answering device enumeration at all?
     #    (a wedged tunnel hangs jax.devices() forever — fall back to CPU
-    #    with an honest flag instead of hanging the whole bench)
-    fallback = not tpu_alive()
+    #    with an honest flag instead of hanging the whole bench).
+    #    TTCROSS_BENCH_FORCE_FALLBACK=1 skips the probe and forces CPU —
+    #    set by the parent's headline-retry subprocess (below).
+    forced = os.environ.get("TTCROSS_BENCH_FORCE_FALLBACK") == "1"
+    fallback = forced or not tpu_alive()
     if fallback:
         _force_cpu_backend()
+    headline_only = os.environ.get("TTCROSS_BENCH_HEADLINE_ONLY") == "1"
 
     # 1) fresh-process warmup probes FIRST (this process must not have
     #    dispatched to the TPU yet — one TPU process at a time); pointless
@@ -189,52 +197,76 @@ def main():
         _emit(out)
         return out
 
-    # ---- config 1: stdnorm d=10 N=33 RANK=8 (test_crs_stdnorm.exe 10 32 8 1)
-    p1 = make_stdnorm(d=10, n=32)
-    q1 = dict(max_rank=8, accuracy=5 * 2.2e-16, pivoting=1,
-              quad=[p1.quad_weights] * p1.d, truth=p1.truth)
-    res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d, **q1))
-    base_evals = int(res.neval)
-    line("stdnorm_d10", res, el)
+    def guarded(name, body):
+        """Run one config block; any failure (e.g. a mid-run tunnel drop —
+        JaxRuntimeError UNAVAILABLE killed the whole artifact live on
+        2026-08-18) emits a skipped line and the suite continues: the
+        HEADLINE line at the end must always be attempted."""
+        try:
+            return body()
+        except Exception as e:
+            _emit({"metric": name, "skipped": repr(e)[:160]})
+            return None
 
-    # adaptive hunt gating companion: converged bonds skip their fiber
-    # evaluations — FEWER integrand calls than the reference performs on
-    # the identical run, at identical digits (cross(adaptive=True))
-    res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d,
-                                      adaptive=True, **q1))
-    line("stdnorm_d10_adaptive", res, el,
-         {"evals_saved_vs_greedy": round(1.0 - res.neval / base_evals, 3)})
+    # ---- config 1: stdnorm d=10 N=33 RANK=8 (test_crs_stdnorm.exe 10 32 8 1)
+    def config_stdnorm():
+        p1 = make_stdnorm(d=10, n=32)
+        q1 = dict(max_rank=8, accuracy=5 * 2.2e-16, pivoting=1,
+                  quad=[p1.quad_weights] * p1.d, truth=p1.truth)
+        res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d, **q1))
+        base_evals = int(res.neval)
+        line("stdnorm_d10", res, el)
+
+        # adaptive hunt gating companion: converged bonds skip their fiber
+        # evaluations — FEWER integrand calls than the reference performs
+        # on the identical run, at identical digits (cross(adaptive=True))
+        res, el, _ = _timed(lambda: cross(p1.fun, [p1.n] * p1.d,
+                                          adaptive=True, **q1))
+        line("stdnorm_d10_adaptive", res, el,
+             {"evals_saved_vs_greedy": round(1.0 - res.neval / base_evals, 3)})
 
     # ---- config 2: MVN probability d=6 N=65 RANK=20 (test_crs_mvn.exe)
-    p2 = make_mvn(d=6, n=65)
-    q2 = dict(max_rank=20, accuracy=acc, pivoting=1,
-              quad=[p2.quad_weights] * p2.d, truth=p2.truth)
-    res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d, **q2))
-    res2, el2 = res, el
-    line("mvn_d6", res, el)
+    def config_mvn():
+        p2 = make_mvn(d=6, n=65)
+        q2 = dict(max_rank=20, accuracy=acc, pivoting=1,
+                  quad=[p2.quad_weights] * p2.d, truth=p2.truth)
+        res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d, **q2))
+        line("mvn_d6", res, el)
+        return p2, res, el
 
     # ---- config 3: COS coefficient tensor (test_crs_coscoeff.exe 6 65 20 1)
-    dens = make_mvn_density(6, corr=0.5)
-    cc = make_cos_coefficients(6, dens.mu, dens.cov, 0.52517, 8.52517)
-    res, el, _ = _timed(lambda: cross(cc.fun, [65] * 6, max_rank=20,
-                                      accuracy=acc, pivoting=1))
-    chk = accchk(res.tt, cc.fun, nlot=2**14)
-    line("coscoeff_d6", res, el,
-         {"accchk_einf": float(f"{chk['einf']:.3e}"),
-          "accchk_rel": float(f"{chk['einf'] / max(chk['ainf'], 1e-300):.3e}")})
+    def config_coscoeff():
+        dens = make_mvn_density(6, corr=0.5)
+        cc = make_cos_coefficients(6, dens.mu, dens.cov, 0.52517, 8.52517)
+        res, el, _ = _timed(lambda: cross(cc.fun, [65] * 6, max_rank=20,
+                                          accuracy=acc, pivoting=1))
+        chk = accchk(res.tt, cc.fun, nlot=2**14)
+        line("coscoeff_d6", res, el,
+             {"accchk_einf": float(f"{chk['einf']:.3e}"),
+              "accchk_rel": float(f"{chk['einf'] / max(chk['ainf'], 1e-300):.3e}")})
 
     # ---- config 5a: mvn_complex — complex contraction path over config
     # 2's train (the cross is byte-identical to config 2's; only the
     # complex-weights contraction differs, so re-running it would just pay
     # two redundant device crosses)
-    w_c = [p2.quad_weights.astype(np.complex128)] * p2.d
-    val = complex(tt.contract(res2.tt, w_c))
-    dig_c = -np.log10(abs(1 - val / p2.truth)) if val != 0 else float("nan")
-    line("mvn_complex_d6", res2, el2,
-         {"complex_digits": round(float(dig_c), 2)})
+    def config_mvn_complex(p2, res2, el2):
+        w_c = [p2.quad_weights.astype(np.complex128)] * p2.d
+        val = complex(tt.contract(res2.tt, w_c))
+        dig_c = -np.log10(abs(1 - val / p2.truth)) if val != 0 else float("nan")
+        line("mvn_complex_d6", res2, el2,
+             {"complex_digits": round(float(dig_c), 2)})
+
+    if not headline_only:
+        guarded("stdnorm_d10", config_stdnorm)
+        mvn_out = guarded("mvn_d6", config_mvn)
+        guarded("coscoeff_d6", config_coscoeff)
+        if mvn_out is not None:
+            guarded("mvn_complex_d6", lambda: config_mvn_complex(*mvn_out))
 
     # ---- config 5b: beyond-f64 tier — dd cross of Ising C_4
     try:
+        if headline_only:
+            raise _SkipConfig()
         from ttcross_tpu.apps.ising import make_ising_dd
         from ttcross_tpu.apps.truths import ISING_C_STR
         from ttcross_tpu.cross.engine_dd import cross_dd
@@ -253,6 +285,8 @@ def main():
         _emit({"metric": "ising_c4_dd_tier", "correct_digits": round(dd_digits, 2),
                "n_evals": int(rdd.neval), "wall_time_s": round(el, 3),
                "evals_per_sec": round(rdd.neval / el, 1)})
+    except _SkipConfig:
+        pass
     except Exception as e:  # the dd tier needs the native toolchain
         _emit({"metric": "ising_c4_dd_tier", "skipped": repr(e)[:120]})
 
@@ -260,6 +294,8 @@ def main():
     # (cross/engine_qd.py; pure host numpy, no device work: the ~60-digit
     # point on the multiprecision ladder, between dd ~31 and mpmath 120)
     try:
+        if headline_only:
+            raise _SkipConfig()
         from mpmath import mp as _mp, mpf as _mpf, workdps as _workdps
 
         from ttcross_tpu.apps.stdnorm import make_stdnorm_qd
@@ -278,6 +314,8 @@ def main():
                "correct_digits": round(qd_digits, 2),
                "n_evals": int(rqd.neval), "wall_time_s": round(el, 3),
                "evals_per_sec": round(rqd.neval / el, 1)})
+    except _SkipConfig:
+        pass
     except Exception as e:
         _emit({"metric": "stdnorm_d4_qd_engine", "skipped": repr(e)[:120]})
 
@@ -285,28 +323,38 @@ def main():
     prob = make_ising("C", m=6, n=64)
     args = dict(max_rank=24, accuracy=acc, pivoting=1,
                 quad=[prob.quad_weights] * prob.d, truth=prob.truth)
-    res_g, el_g, warm_self = _timed(lambda: cross(prob.fun, [prob.n] * prob.d, **args))
-    dig_g = -np.log10(res_g.errors[-1])
-    line("ising_c6_greedy", res_g, el_g)
+
+    def config_greedy():
+        res_g, el_g, warm_self = _timed(
+            lambda: cross(prob.fun, [prob.n] * prob.d, **args))
+        line("ising_c6_greedy", res_g, el_g)
+        return -np.log10(res_g.errors[-1]), warm_self
+
+    greedy_out = guarded("ising_c6_greedy", config_greedy)
+    dig_g, warm_self = greedy_out if greedy_out else (None, None)
 
     # ---- n_evals parity line: chunked growth + per-bond rank caps (the
     # C_6 rank profile, a FIXED constant so the export-cache key is
     # stable across bench runs) -> counted padded_ratio ~ 1.15 (the
     # reference's exact dynamic shapes are ratio 1.0).  Compile-heavy on
     # a cold cache (6 unrolled executables); skippable via env.
-    if os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false"):
+    def config_capped():
         caps = [16, 24, 24, 16]
         res, el, _ = _timed(lambda: cross(
             prob.fun, [prob.n] * prob.d, rank_chunks=[4, 8, 12, 16, 20, 24],
             rank_caps=caps, **args))
         line("ising_c6_chunked_capped", res, el, {"rank_caps": caps})
 
+    if (os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false")
+            and not headline_only):
+        guarded("ising_c6_chunked_capped", config_capped)
+
     # ---- batch family line: L parameterized crosses fused into ONE
     # device program (cross_batch) vs L single runs, steady state.  The
     # speedup shows on the latency-bound TPU path (L small-op lanes cost
     # close to one); on the CPU fallback lanes cost ~linearly, so the
     # line is TPU-only unless forced (TTCROSS_BENCH_BATCH=1).
-    if (not fallback) or os.environ.get("TTCROSS_BENCH_BATCH") == "1":
+    def config_family():
         from ttcross_tpu.apps.mvn import make_mvn_family
         from ttcross_tpu.cross import cross_batch
 
@@ -337,43 +385,74 @@ def main():
             out["tpu_fallback"] = True
         _emit(out)
 
+    if (((not fallback) or os.environ.get("TTCROSS_BENCH_BATCH") == "1")
+            and not headline_only):
+        guarded("mvn_family_batch", config_family)
+
     # ---- HEADLINE (LAST LINE): C_6 with the oversample=6 cross-and-round
     # post-pass — recovers near-TT-SVD accuracy at rank 24 (~14.3 digits vs
     # ~12.5 greedy) for ~1.5x the evaluations
-    res, el, _ = _timed(lambda: cross(prob.fun, [prob.n] * prob.d,
-                                      oversample=6, **args))
-    digits = -np.log10(res.errors[-1])
-    evals_per_sec = res.neval / el
-    t_hit = next((i for i, e in enumerate(res.errors) if e <= 1e-10), None)
-    out = {
-        "metric": "ising_c6_evals_per_sec",
-        "value": round(evals_per_sec, 1),
-        "unit": "evals/sec",
-        "vs_baseline": round(evals_per_sec / NOMINAL_REF_EVALS_PER_SEC, 3),
-        "device": device,
-        "correct_digits": round(float(digits), 2),
-        "greedy_digits": round(float(dig_g), 2),
-        "n_evals": int(res.neval),
-        "wall_time_s": round(el, 3),
-        "warmup_time_s": warm_med if warm_med is not None else round(warm_self, 3),
-        "warmup_tail_s": warm_tail,
-        "warmup_probe_failures": probe_failures,
-        "sweeps": res.sweeps,
-        "first_sweep_below_1e-10": t_hit,
-        "max_rank": max(res.ranks),
-        "oversample": 6,
-        # honesty metrics: n_evals counts ACTIVE entries (the reference's
-        # bookkeeping, dmrgg.f90:372,465,...); padded_evals COUNTS (in
-        # CrossState, not estimates) every integrand call incl. masked
-        # padding slots
-        "padded_evals": int(res.padded_evals),
-        "padded_ratio": round(res.padded_evals / res.neval, 2),
-    }
-    if fallback:
-        # honest flag: the tunnel was down at bench time; these are CPU
-        # numbers, NOT the TPU headline (see BENCH_NOTES for TPU envelopes)
-        out["tpu_fallback"] = True
-    _emit(out)
+    def headline():
+        res, el, _ = _timed(lambda: cross(prob.fun, [prob.n] * prob.d,
+                                          oversample=6, **args))
+        digits = -np.log10(res.errors[-1])
+        evals_per_sec = res.neval / el
+        t_hit = next((i for i, e in enumerate(res.errors) if e <= 1e-10), None)
+        out = {
+            "metric": "ising_c6_evals_per_sec",
+            "value": round(evals_per_sec, 1),
+            "unit": "evals/sec",
+            "vs_baseline": round(evals_per_sec / NOMINAL_REF_EVALS_PER_SEC, 3),
+            "device": device,
+            "correct_digits": round(float(digits), 2),
+            "greedy_digits": (round(float(dig_g), 2)
+                              if dig_g is not None else None),
+            "n_evals": int(res.neval),
+            "wall_time_s": round(el, 3),
+            "warmup_time_s": (warm_med if warm_med is not None
+                              else (round(warm_self, 3)
+                                    if warm_self is not None else None)),
+            "warmup_tail_s": warm_tail,
+            "warmup_probe_failures": probe_failures,
+            "sweeps": res.sweeps,
+            "first_sweep_below_1e-10": t_hit,
+            "max_rank": max(res.ranks),
+            "oversample": 6,
+            # honesty metrics: n_evals counts ACTIVE entries (the
+            # reference's bookkeeping, dmrgg.f90:372,465,...);
+            # padded_evals COUNTS (in CrossState, not estimates) every
+            # integrand call incl. masked padding slots
+            "padded_evals": int(res.padded_evals),
+            "padded_ratio": round(res.padded_evals / res.neval, 2),
+        }
+        if fallback:
+            # honest flag: the tunnel was down at bench time; these are
+            # CPU numbers, NOT the TPU headline (see BENCH_NOTES for TPU
+            # envelopes)
+            out["tpu_fallback"] = True
+        _emit(out)
+
+    try:
+        headline()
+    except Exception as e:
+        _emit({"metric": "ising_c6_evals_per_sec_tpu_attempt",
+               "failed": repr(e)[:160]})
+        if fallback:
+            return 1   # already on CPU; nothing left to fall back to
+        # the tunnel answered the watchdog but died mid-run (observed
+        # live 2026-08-18: UNAVAILABLE at a device_put after 4 configs).
+        # Re-run headline-only in a FRESH CPU subprocess so the artifact
+        # still ends with an honestly-flagged headline line.
+        env = dict(os.environ,
+                   TTCROSS_BENCH_FORCE_FALLBACK="1",
+                   TTCROSS_BENCH_HEADLINE_ONLY="1",
+                   TTCROSS_BENCH_WARMUP_K="0")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=3600, env=env)
+        sys.stdout.write(proc.stdout)
+        sys.stdout.flush()
+        return proc.returncode
     return 0
 
 
