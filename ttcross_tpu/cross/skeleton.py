@@ -41,6 +41,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.linalg import solve_triangular
 
 from .chains import pivot_index_sets
 
@@ -118,6 +119,30 @@ def extract_skeleton(state_or_result, n: Sequence[int]) -> Skeleton:
                     n=n, ranks=tuple(int(x) for x in rk))
 
 
+@jax.custom_jvp
+def _solve_right(ahat: jax.Array, m: jax.Array) -> jax.Array:
+    """m @ ahat^{-1} via QR of ahat.T — LU-based jnp.linalg.solve does not
+    lower for f64 on this TPU platform (XLA LuDecomposition is F32-only,
+    same constraint cross/maxvol.py works around; confirmed live on the
+    v5e compile helper).  The derivative is a custom rule (below), NOT
+    differentiation through the QR factors: the factor-JVP amplifies
+    round-off ~cond(A)^2 on the near-singular late-rank pivot
+    submatrices, measured 1e-2 absolute grad error on the MVN Greek
+    where the solve-rule JVP matches finite differences to 1e-7."""
+    q, r = jnp.linalg.qr(ahat.T)
+    return solve_triangular(r, q.T @ m.T, lower=False).T
+
+
+@_solve_right.defjvp
+def _solve_right_jvp(primals, tangents):
+    # y = m A^{-1}  =>  dy = (dm - y dA) A^{-1}: the exact solve rule,
+    # linear in the tangents so reverse mode transposes through it
+    ahat, m = primals
+    da, dm = tangents
+    y = _solve_right(ahat, m)
+    return y, _solve_right(ahat, dm - y @ da)
+
+
 def _split_samples(skel: Skeleton, vals: jax.Array):
     """Split the one batched integrand result back into cores G_c and
     pivot submatrices Ahat_b."""
@@ -165,7 +190,7 @@ def skeleton_value_fn(fun: Callable, skel: Skeleton,
             row = gw if row is None else row @ gw
             if c < d - 1:
                 # row <- row @ Ahat_c^{-1} as a differentiable solve
-                row = jnp.linalg.solve(ahats[c].T, row.T).T
+                row = _solve_right(ahats[c], row)
         return row[0, 0]
 
     return vfn
@@ -191,8 +216,7 @@ def skeleton_tt_fn(fun: Callable, skel: Skeleton) -> Callable:
             g = cores[c]
             if c < d - 1:
                 rl, nc, rr = g.shape
-                g = jnp.linalg.solve(ahats[c].T, g.reshape(-1, rr).T).T
-                g = g.reshape(rl, nc, rr)
+                g = _solve_right(ahats[c], g.reshape(-1, rr)).reshape(rl, nc, rr)
             out.append(g)
         return TT(tuple(out))
 
