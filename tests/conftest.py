@@ -50,9 +50,14 @@ def _host_fingerprint() -> str:
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser(
-                      f"~/.cache/ttcross_tpu_test_xla_{_host_fingerprint()}"))
+# TTCROSS_TEST_XLA_CACHE=0 disables the persistent cache for this run:
+# two pytest processes sharing the cache dir CONCURRENTLY can segfault in
+# backend_compile_and_load (observed live 2026-08-18 — a foreground spot
+# run next to a full-suite run); use the override for side-by-side runs.
+if os.environ.get("TTCROSS_TEST_XLA_CACHE", "1") not in ("0", "false"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(
+                          f"~/.cache/ttcross_tpu_test_xla_{_host_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:
