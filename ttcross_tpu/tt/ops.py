@@ -99,7 +99,16 @@ def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     dispatch pays a remote compile per op shape on some TPU platforms)."""
     dt = t.dtype
     if weights is not None:
-        dt = jnp.result_type(dt, *[jnp.asarray(w).dtype for w in weights])
+        # dtype sniff must NOT touch the device: jnp.asarray(w) would
+        # device_put each weight vector, and a complex128 put onto a TPU
+        # (no complex dtype) stalls the axon plugin in ~25 min of
+        # UNAVAILABLE retries before the host complex path below is even
+        # reached (observed live in bench config mvn_complex, 2026-08-18)
+        import numpy as _np
+
+        dt = jnp.result_type(dt, *[
+            w.dtype if hasattr(w, "dtype") else _np.asarray(w).dtype
+            for w in weights])
     if jnp.issubdtype(dt, jnp.complexfloating):
         # complex contraction runs on HOST in native numpy: TPU hardware has
         # no complex dtype (ztt_quad equivalent), and the contraction is
