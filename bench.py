@@ -256,12 +256,23 @@ def main():
         line("mvn_complex_d6", res2, el2,
              {"complex_digits": round(float(dig_c), 2)})
 
+    # ---- quality companion: maxvol pivot replacement past the greedy
+    # fixed-rank ceiling on the MVN config (cross(refine_sweeps=2):
+    # ~5.9 greedy -> ~7 digits at rank 20 without rank inflation)
+    def config_mvn_refined(p2):
+        q2 = dict(max_rank=20, accuracy=acc, pivoting=1,
+                  quad=[p2.quad_weights] * p2.d, truth=p2.truth)
+        res, el, _ = _timed(lambda: cross(p2.fun, [p2.n] * p2.d,
+                                          refine_sweeps=2, **q2))
+        line("mvn_d6_refined", res, el, {"refine_sweeps": 2})
+
     if not headline_only:
         guarded("stdnorm_d10", config_stdnorm)
         mvn_out = guarded("mvn_d6", config_mvn)
         guarded("coscoeff_d6", config_coscoeff)
         if mvn_out is not None:
             guarded("mvn_complex_d6", lambda: config_mvn_complex(*mvn_out))
+            guarded("mvn_d6_refined", lambda: config_mvn_refined(mvn_out[0]))
 
     # ---- config 5b: beyond-f64 tier — dd cross of Ising C_4
     try:
