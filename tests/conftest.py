@@ -50,11 +50,17 @@ def _host_fingerprint() -> str:
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
-# TTCROSS_TEST_XLA_CACHE=0 disables the persistent cache for this run:
-# two pytest processes sharing the cache dir CONCURRENTLY can segfault in
-# backend_compile_and_load (observed live 2026-08-18 — a foreground spot
-# run next to a full-suite run); use the override for side-by-side runs.
-if os.environ.get("TTCROSS_TEST_XLA_CACHE", "1") not in ("0", "false"):
+# The persistent cache is OPT-IN (TTCROSS_TEST_XLA_CACHE=1): XLA:CPU AOT
+# entries do not reload safely on every host — the loader warns about the
+# +prefer-no-scatter/+prefer-no-gather pseudo-features ("could lead to
+# execution errors such as SIGILL") and LOADING an entry written by
+# another process segfaulted backend_compile_and_load in 3/3 full-suite
+# runs on the 2026-08-18 host, while fresh compiles always passed.  Same
+# failure class the package already guards for TTCROSS_PLATFORM=cpu.
+# Entries compiled AND loaded within one process are never re-read, which
+# is why single-process runs look fine until a second process shares the
+# dir.
+if os.environ.get("TTCROSS_TEST_XLA_CACHE", "0") in ("1", "true"):
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser(
                           f"~/.cache/ttcross_tpu_test_xla_{_host_fingerprint()}"))
