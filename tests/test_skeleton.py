@@ -292,6 +292,44 @@ def test_basket_density_vega():
     assert np.max(np.abs(np.asarray(vega))) > 1e-4  # non-trivial sensitivity
 
 
+def test_reevaluate_host_pipeline():
+    """Host re-evaluation at a frozen skeleton + all-host rounding (the
+    bench headline pipeline): numpy integrand twin agrees with the
+    traced one, and the host-rebuilt rounded train reproduces the Ising
+    C_4 truth to the oversample envelope."""
+    from ttcross_tpu.apps import make_ising
+    from ttcross_tpu.apps.ising import ising_integrand_np
+    from ttcross_tpu.cross.skeleton import reevaluate_host
+    from ttcross_tpu.tt.ortho import svd_round_host
+
+    prob = make_ising("C", m=4, n=33)
+    ind = np.random.default_rng(1).integers(0, prob.n, size=(128, prob.d))
+    np.testing.assert_allclose(
+        np.asarray(prob.fun(jnp.asarray(ind, jnp.int32))),
+        ising_integrand_np(ind, prob.nodes, prob.weights, "C"), rtol=1e-13)
+
+    res = cross(prob.fun, [prob.n] * prob.d, max_rank=14,
+                accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth,
+                return_state=True)
+    skel = extract_skeleton(res, [prob.n] * prob.d)
+    cores = reevaluate_host(prob.fun_np, skel)
+    cs = svd_round_host(cores, rmax=10)
+    assert max(c.shape[0] for c in cs) <= 10
+    v = np.ones((1, 1))
+    for g in cs:
+        v = v @ np.einsum("inj,n->ij", g, prob.quad_weights)
+    digits = -np.log10(abs(1.0 - v[0, 0] / prob.truth))
+    assert digits >= 11.5, digits
+
+    # the unrounded host rebuild must match the engine's own value to
+    # f64 round-off (same pivots, same data source on CPU)
+    v = np.ones((1, 1))
+    for g in cores:
+        v = v @ np.einsum("inj,n->ij", g, prob.quad_weights)
+    assert abs(v[0, 0] / res.values[-1] - 1.0) < 1e-11
+
+
 def test_extract_requires_state():
     nodes, w = _grid()
     fun = _rank2_fun(nodes)

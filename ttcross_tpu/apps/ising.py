@@ -77,6 +77,37 @@ def ising_integrand(ind, nodes, weights, kind: str):
     return f * jnp.prod(w, axis=1)
 
 
+def ising_integrand_np(ind, nodes, weights, kind: str) -> np.ndarray:
+    """Host-numpy twin of ising_integrand: ind (B, d) int -> (B,) f64.
+
+    Exists for accurate host re-evaluation at a frozen skeleton
+    (cross/skeleton.py::reevaluate_host): this TPU's emulated f64
+    multiply is not correctly rounded, so on-device integrand values
+    carry ~7e-15 median relative error (measured against the mp
+    integrand, 2026-08-18) and cap a device-built train near 12.7
+    digits on C_6; host f64 evaluation is ~1e-16."""
+    kid = _KIND_ID[kind.upper()]
+    ind = np.asarray(ind)
+    x = np.asarray(nodes)[ind]       # (B, d)
+    w = np.asarray(weights)[ind]
+    B, d = x.shape
+
+    f = np.full(B, 2.0)
+    if kid in (2, 3):  # a-term: prod_{i<j} ((P_j/P_i - 1)/(P_j/P_i + 1))^2
+        P = np.concatenate([np.ones((B, 1)), np.cumprod(x, axis=1)], axis=1)
+        num = P[:, None, :] - P[:, :, None]
+        den = P[:, None, :] + P[:, :, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(den == 0, 0.0, num / den) ** 2
+        iu = np.triu(np.ones((d + 1, d + 1), dtype=bool), k=1)
+        f = f * np.prod(np.where(iu[None], ratio, 1.0), axis=(1, 2))
+    if kid in (1, 2):  # b-term: 1 / ((1 + sum suffix prods)(1 + sum prefix))
+        v = 1.0 + np.cumprod(x[:, ::-1], axis=1).sum(axis=1)
+        wv = 1.0 + np.cumprod(x, axis=1).sum(axis=1)
+        f = f / (v * wv)
+    return f * np.prod(w, axis=1)
+
+
 def ising_c_integrand_dd(ind, nodes_dd, weights_dd):
     """C-kind Ising integrand evaluated in DEVICE double-double arithmetic:
     f = 2/(v w) prod_i W_i with the telescoping prefix/suffix product sums
@@ -316,6 +347,11 @@ class IsingProblem:
 
     def fun(self, ind):
         return ising_integrand(ind, jnp.asarray(self.nodes), jnp.asarray(self.weights), self.kind)
+
+    def fun_np(self, ind):
+        """Host-numpy twin (accurate f64 on platforms with emulated
+        device f64; see ising_integrand_np)."""
+        return ising_integrand_np(ind, self.nodes, self.weights, self.kind)
 
 
 def make_ising(kind: str = "C", m: int = 6, n: int = 65) -> IsingProblem:

@@ -46,7 +46,7 @@ from jax.scipy.linalg import solve_triangular
 from .chains import pivot_index_sets
 
 __all__ = ["Skeleton", "extract_skeleton", "skeleton_value_fn",
-           "skeleton_tt_fn"]
+           "skeleton_tt_fn", "reevaluate_host"]
 
 
 @dataclass(frozen=True)
@@ -194,6 +194,42 @@ def skeleton_value_fn(fun: Callable, skel: Skeleton,
         return row[0, 0]
 
     return vfn
+
+
+def reevaluate_host(fun_np: Callable, skel: Skeleton) -> list:
+    """Host-accurate CUR rebuild at a frozen skeleton: numpy cores of the
+    interpolant with the pivot-submatrix inverses folded in.
+
+    The refine-tier split (cross/refine.py) applied to the plain-f64
+    tier: pivot SELECTION runs in the device engine (selection needs
+    resolution, not precision), then the cross DATA is re-evaluated on
+    host where f64 is correctly rounded.  On this TPU the emulated f64
+    multiply gives integrand values ~7e-15 median relative error, which
+    caps a device-built C_6 train at ~12.7 digits; re-evaluating the
+    same ~165k skeleton samples with a host-numpy integrand restores
+    14.0+ (measured 2026-08-18, BENCH_NOTES).
+
+    fun_np: ``fun_np(ind (B, d) int numpy) -> (B,) f64 numpy`` host
+    integrand (e.g. ``IsingProblem.fun_np``).  Returns plain numpy cores
+    (r_l, n_c, r_r); wrap in ``TT(tuple(map(jnp.asarray, cores)))`` only
+    if device work is wanted — host contraction/rounding keeps the
+    accuracy this function exists for (tt/ortho.py::svd_round_host)."""
+    vals = np.asarray(fun_np(skel.ind_all.astype(np.int64)), np.float64)
+    cores, ahats, off = [], [], 0
+    for (rl, nc, rr) in skel.core_shapes:
+        cores.append(vals[off:off + rl * nc * rr].reshape(rl, nc, rr))
+        off += rl * nc * rr
+    for r in skel.ahat_shapes:
+        ahats.append(vals[off:off + r * r].reshape(r, r))
+        off += r * r
+    out = []
+    for c, g in enumerate(cores):
+        if c < len(ahats):
+            rl, nc, rr = g.shape
+            g = np.linalg.solve(ahats[c].T, g.reshape(-1, rr).T).T
+            g = g.reshape(rl, nc, rr)
+        out.append(g)
+    return out
 
 
 def skeleton_tt_fn(fun: Callable, skel: Skeleton) -> Callable:

@@ -18,7 +18,7 @@ import numpy as np
 
 from .types import TT
 
-__all__ = ["orthogonalize", "svd_round", "from_dense", "chop_rank"]
+__all__ = ["orthogonalize", "svd_round", "svd_round_host", "from_dense", "chop_rank"]
 
 
 def chop_rank(s: np.ndarray, tol: float | None = None, rmax: int | None = None) -> int:
@@ -98,6 +98,31 @@ def svd_round(t: TT, tol: float = 1e-14, rmax: int | None = None) -> TT:
         lognrm += np.log(nrm)
     common = float(np.exp(lognrm / d))
     return TT(tuple(c * common for c in cores))
+
+
+def svd_round_host(cores: list, tol: float = 0.0,
+                   rmax: int | None = None) -> list:
+    """All-host TT-SVD truncation on plain numpy cores: the accuracy
+    companion of svd_round for platforms whose device f64 is emulated
+    and not correctly rounded (svd_round's orthogonalize sweep runs QR
+    on the device) — used with cross/skeleton.py::reevaluate_host to
+    keep the entire accuracy-critical tail of a run in host arithmetic.
+    Returns numpy cores; same chop rule."""
+    cs = [np.asarray(c, np.float64) for c in cores]
+    d = len(cs)
+    for k in range(d - 1):
+        rl, nc, rr = cs[k].shape
+        q, r = np.linalg.qr(cs[k].reshape(rl * nc, rr))
+        cs[k] = q.reshape(rl, nc, q.shape[1])
+        cs[k + 1] = np.einsum("ij,jnk->ink", r, cs[k + 1])
+    for k in range(d - 1, 0, -1):
+        rc, nc, rn = cs[k].shape
+        u, s, vh = np.linalg.svd(cs[k].reshape(rc, nc * rn),
+                                 full_matrices=False)
+        rr = chop_rank(s, tol=tol, rmax=rmax)
+        cs[k] = vh[:rr].reshape(rr, nc, rn)
+        cs[k - 1] = np.einsum("inj,jk->ink", cs[k - 1], u[:, :rr] * s[:rr])
+    return cs
 
 
 def from_dense(a, n: Sequence[int] | None = None, tol: float = 1e-14, rmax: int | None = None) -> TT:
