@@ -413,7 +413,9 @@ def main():
         from ttcross_tpu.tt.ortho import svd_round_host
 
         def run_once():
-            res = cross(prob.fun, [prob.n] * prob.d, return_state=True,
+            # return_pivots keeps the export-cached single-dispatch fast
+            # path (return_state would re-run per-sweep dispatches)
+            res = cross(prob.fun, [prob.n] * prob.d, return_pivots=True,
                         **{**args, "max_rank": 30})
             skel = extract_skeleton(res, [prob.n] * prob.d)
             cs = svd_round_host(reevaluate_host(prob.fun_np, skel), rmax=24)

@@ -329,6 +329,18 @@ def test_reevaluate_host_pipeline():
         v = v @ np.einsum("inj,n->ij", g, prob.quad_weights)
     assert abs(v[0, 0] / res.values[-1] - 1.0) < 1e-11
 
+    # return_pivots (the bench headline hookup) keeps the fast path and
+    # yields the identical skeleton
+    res_p = cross(prob.fun, [prob.n] * prob.d, max_rank=14,
+                  accuracy=500 * 2.2e-16, pivoting=1,
+                  quad=[prob.quad_weights] * prob.d, truth=prob.truth,
+                  return_pivots=True)
+    skel_p = extract_skeleton(res_p, [prob.n] * prob.d)
+    np.testing.assert_array_equal(skel_p.ind_all, skel.ind_all)
+    with pytest.raises(ValueError, match="return_pivots"):
+        cross(prob.fun, [prob.n] * prob.d, max_rank=14, oversample=2,
+              return_pivots=True)
+
 
 def test_extract_requires_state():
     nodes, w = _grid()

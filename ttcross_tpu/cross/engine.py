@@ -1534,6 +1534,7 @@ def cross(
     use_pallas: bool = False,
     init_state: CrossState | None = None,
     return_state: bool = False,
+    return_pivots: bool = False,
     max_sweeps: int | None = None,
     small_element: float | None = None,
     small_pivot: float | None = None,
@@ -1554,6 +1555,10 @@ def cross(
     when max accepted pivot <= accuracy * amax for 3 consecutive sweeps.
     pivoting: -1 full / 0 lottery / k>=1 rook with up to 2k passes.
     quad: optional per-mode weight vectors -> per-sweep value + convergence.
+    return_pivots: attach a light vip/rk shim as res.state (enough for
+    cross/skeleton.py::extract_skeleton) WITHOUT leaving the export-cached
+    single-dispatch fast path (return_state=True materializes the full
+    CrossState and runs per-sweep dispatches); plain single-chunk runs only.
     rank_chunks: rank-padding growth schedule (increasing, last = max_rank),
     or "auto" for ~4 evenly spaced levels: early sweeps run at a small
     padded rank so the ACTUAL evaluated batch sizes track the reference's
@@ -1607,6 +1612,13 @@ def cross(
         raise ValueError("cross requires d >= 2")
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2")
+    if return_pivots and (oversample or rank_chunks is not None
+                          or refine_sweeps or init_state is not None):
+        # the light pivot shim rides the fused fast path's packed vip;
+        # composite recursions materialize full state anyway — use
+        # return_state there
+        raise ValueError("return_pivots supports the plain single-chunk "
+                         "run only; use return_state=True otherwise")
     if oversample:
         if return_state or init_state is not None:
             raise ValueError("oversample is incompatible with state passing")
@@ -1803,6 +1815,17 @@ def cross(
     )
     if return_state:
         res.state = st
+    elif return_pivots:
+        # light skeleton hookup (cross/skeleton.py): the fused fast path
+        # already ships vip in its packed output, so the export-cached
+        # single-dispatch executable is kept — return_state=True would
+        # fall off it (per-sweep dispatches + a multi-MB state transfer,
+        # ~0.5 s extra through the remote tunnel at C_6 rank 30)
+        from types import SimpleNamespace
+
+        res.state = (SimpleNamespace(vip=vip_fast, rk=rk) if st is None
+                     else SimpleNamespace(vip=np.asarray(st.vip),
+                                          rk=np.asarray(st.rk)))
     if refine_sweeps:
         seed_state = st
         if seed_state is None:
