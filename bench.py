@@ -339,10 +339,11 @@ def main():
         res_g, el_g, warm_self = _timed(
             lambda: cross(prob.fun, [prob.n] * prob.d, **args))
         line("ising_c6_greedy", res_g, el_g)
-        return -np.log10(res_g.errors[-1]), warm_self
+        return (-np.log10(res_g.errors[-1]), warm_self,
+                round(res_g.neval / el_g, 1))
 
     greedy_out = guarded("ising_c6_greedy", config_greedy)
-    dig_g, warm_self = greedy_out if greedy_out else (None, None)
+    dig_g, warm_self, eps_g = greedy_out if greedy_out else (None,) * 3
 
     # ---- n_evals parity line: chunked growth + per-bond rank caps (the
     # C_6 rank profile, a FIXED constant so the export-cache key is
@@ -438,6 +439,7 @@ def main():
             "correct_digits": round(float(digits), 2),
             "greedy_digits": (round(float(dig_g), 2)
                               if dig_g is not None else None),
+            "greedy_evals_per_sec": eps_g,
             "n_evals": n_evals,
             "wall_time_s": round(el, 3),
             "warmup_time_s": (warm_med if warm_med is not None
