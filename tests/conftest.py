@@ -74,6 +74,37 @@ try:
 except Exception:
     pass
 
+# TTCROSS_TEST_NOGC=1: disable the cyclic GC for the whole run — a
+# diagnostic lever for a deterministic XLA:CPU compile segfault that
+# appears only after hundreds of compiles in one process (2026-08-18 host)
+if os.environ.get("TTCROSS_TEST_NOGC") == "1":
+    import gc
+
+    gc.disable()
+
+
+def _raise_max_map_count() -> bool:
+    """The full suite's accumulated XLA:CPU JIT executables exhaust the
+    kernel's default vm.max_map_count=65530 (measured live 2026-08-19:
+    63,609 maps one minute before a deterministic SIGSEGV inside
+    backend_compile_and_load at ~90% of the suite — mmap returning
+    MAP_FAILED is unchecked in the compiler).  The image runs as root, so
+    raise the limit; return False if we cannot (the fallback fixture
+    below then clears jax's executable caches between test modules)."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur = int(f.read())
+        if cur >= 262144:
+            return True
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("262144")
+        return True
+    except OSError:
+        return False
+
+
+_MAPS_RAISED = _raise_max_map_count()
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU platform"
 assert len(jax.devices()) >= 8, "tests need 8 virtual devices"
 
@@ -84,6 +115,17 @@ import pytest
 # slow end-to-end runs are opt-in via TTCROSS_SLOW=1 (or an explicit
 # `-m slow` selection).
 RUN_SLOW = os.environ.get("TTCROSS_SLOW", "0") not in ("0", "", "false")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _cap_jit_mappings():
+    """Fallback when vm.max_map_count could not be raised: drop jax's
+    in-memory executable caches after every test module so JIT mappings
+    cannot accumulate to the kernel limit (see _raise_max_map_count).
+    Costs cross-module recompiles, so it only runs when needed."""
+    yield
+    if not _MAPS_RAISED:
+        jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):
