@@ -410,24 +410,11 @@ def main():
     # device-chosen pivots restores 14.0+ (diagnosis in BENCH_NOTES,
     # 2026-08-18).  n_evals/padded include the skeleton re-samples.
     def headline():
-        from ttcross_tpu.cross import extract_skeleton, reevaluate_host
-        from ttcross_tpu.tt.ortho import svd_round_host
-
-        def run_once():
-            # return_pivots keeps the export-cached single-dispatch fast
-            # path (return_state would re-run per-sweep dispatches)
-            res = cross(prob.fun, [prob.n] * prob.d, return_pivots=True,
-                        **{**args, "max_rank": 30})
-            skel = extract_skeleton(res, [prob.n] * prob.d)
-            cs = svd_round_host(reevaluate_host(prob.fun_np, skel), rmax=24)
-            v = np.ones((1, 1))
-            for g in cs:
-                v = v @ np.einsum("inj,n->ij", g, prob.quad_weights)
-            return res, skel, v[0, 0]
-
-        (res, skel, val), el, _ = _timed(run_once)
-        digits = -np.log10(abs(1.0 - val / prob.truth))
-        n_evals = int(res.neval) + skel.n_samples
+        res, el, _ = _timed(lambda: cross(
+            prob.fun, [prob.n] * prob.d, oversample=6,
+            host_reeval=prob.fun_np, **args))
+        digits = -np.log10(res.errors[-1])
+        n_evals = int(res.neval)
         evals_per_sec = n_evals / el
         t_hit = next((i for i, e in enumerate(res.errors) if e <= 1e-10), None)
         out = {
@@ -451,15 +438,14 @@ def main():
             "first_sweep_below_1e-10": t_hit,
             "max_rank": 24,
             "oversample": 6,
-            "host_reeval_samples": skel.n_samples,
+            "host_reeval": True,
             # honesty metrics: n_evals counts ACTIVE entries (the
             # reference's bookkeeping, dmrgg.f90:372,465,...) PLUS the
             # host skeleton re-samples; padded_evals COUNTS (in
             # CrossState, not estimates) every integrand call incl.
             # masked padding slots, plus the same re-samples
-            "padded_evals": int(res.padded_evals) + skel.n_samples,
-            "padded_ratio": round(
-                (int(res.padded_evals) + skel.n_samples) / n_evals, 2),
+            "padded_evals": int(res.padded_evals),
+            "padded_ratio": round(res.padded_evals / n_evals, 2),
         }
         if fallback:
             # honest flag: the tunnel was down at bench time; these are

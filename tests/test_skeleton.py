@@ -342,6 +342,31 @@ def test_reevaluate_host_pipeline():
               return_pivots=True)
 
 
+def test_cross_host_reeval_kwarg():
+    """cross(oversample=k, host_reeval=fun_np): the one-call form of the
+    device-pivots/host-data pipeline — digits match the manual pipeline,
+    telemetry gets the 'hr' record, counters include the re-samples."""
+    from ttcross_tpu.apps import make_ising
+
+    prob = make_ising("C", m=4, n=33)
+    base = dict(max_rank=10, accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    res = cross(prob.fun, [prob.n] * prob.d, oversample=4,
+                host_reeval=prob.fun_np, **base)
+    assert max(res.ranks) <= 10
+    assert res.history[-1].direction == "hr"
+    assert -np.log10(res.errors[-1]) >= 11.5
+    assert res.state is None
+    # plain (no oversample) host_reeval keeps ranks, improves nothing on
+    # CPU but must be value-consistent with the engine
+    res2 = cross(prob.fun, [prob.n] * prob.d, host_reeval=prob.fun_np,
+                 **base)
+    assert abs(res2.values[-1] / res2.values[-2] - 1.0) < 1e-11
+    with pytest.raises(ValueError, match="host_reeval"):
+        cross(prob.fun, [prob.n] * prob.d, host_reeval=prob.fun_np,
+              rank_chunks=[4, 10], **base)
+
+
 def test_extract_requires_state():
     nodes, w = _grid()
     fun = _rank2_fun(nodes)

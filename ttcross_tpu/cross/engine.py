@@ -149,6 +149,51 @@ def round_and_revalue(res: "CrossResult", max_rank: int, quad, truth):
     return res
 
 
+def _apply_host_reeval(res: "CrossResult", fun_np, n, rmax, quad, truth):
+    """Host re-evaluation post-pass (cross(host_reeval=fun_np)): rebuild
+    the train from HOST-evaluated data at the frozen pivot skeleton,
+    optionally TT-SVD-round to rmax, and re-value — all in host
+    arithmetic.  The accuracy half of the refine-tier split for the f64
+    tier: on platforms whose device f64 is emulated (values ~1e-14
+    noisy), the device picks the pivots and the host supplies the data
+    (measured diagnosis in BENCH_NOTES, 2026-08-18).  fun_np:
+    ``fun_np(ind (B, d) int numpy) -> (B,) f64 numpy``.  neval /
+    padded_evals grow by the skeleton re-samples (real integrand
+    calls); the revaluation appends a direction-'hr' history record."""
+    from ..tt.ortho import svd_round_host
+    from ..utils.metrics import SweepRecord
+    from .skeleton import extract_skeleton, reevaluate_host
+
+    skel = extract_skeleton(res, n)
+    cores = reevaluate_host(fun_np, skel)
+    if rmax is not None:
+        cores = svd_round_host(cores, tol=0.0, rmax=rmax)
+    res.tt = TT(tuple(jnp.asarray(c) for c in cores))
+    res.ranks = tuple(int(x) for x in res.tt.r)
+    res.neval += skel.n_samples
+    if res.padded_evals is not None:
+        res.padded_evals += skel.n_samples
+    if quad is not None:
+        v = np.ones((1, 1))
+        for c, g in enumerate(cores):
+            v = v @ np.einsum("inj,n->ij", g, np.asarray(quad[c], np.float64))
+        val = float(v[0, 0])
+        res.values.append(val)
+        if truth is not None:
+            res.errors.append(abs(1.0 - val / truth))
+        else:
+            prev = res.values[-2]
+            res.errors.append(abs(1.0 - val / prev) if prev != 0 else float("nan"))
+        if res.history is not None:
+            res.history.append(SweepRecord(
+                it=res.sweeps + 1, direction="hr", n_evals=res.neval,
+                pivotmax=float(res.history[-1].pivotmax) if res.history else 0.0,
+                value=val,
+                err=res.errors[-1] if truth is not None else None,
+                cnv=None if truth is not None else res.errors[-1]))
+    return res
+
+
 def _values_errors(vals, last_it: int, truth, with_quad: bool):
     """values list + per-sweep rel errors (err vs truth, or cnv vs the
     previous sweep) from the packed per-sweep value array."""
@@ -1535,6 +1580,7 @@ def cross(
     init_state: CrossState | None = None,
     return_state: bool = False,
     return_pivots: bool = False,
+    host_reeval: "Callable | None" = None,
     max_sweeps: int | None = None,
     small_element: float | None = None,
     small_pivot: float | None = None,
@@ -1612,6 +1658,12 @@ def cross(
         raise ValueError("cross requires d >= 2")
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2")
+    if host_reeval is not None and (rank_chunks is not None or refine_sweeps
+                                    or init_state is not None):
+        # the host rebuild rides the fused fast path's packed pivots (the
+        # same constraint as return_pivots below)
+        raise ValueError("host_reeval supports plain or oversampled "
+                         "single-chunk runs only")
     if return_pivots and (oversample or rank_chunks is not None
                           or refine_sweeps or init_state is not None):
         # the light pivot shim rides the fused fast path's packed vip;
@@ -1640,6 +1692,25 @@ def cross(
         caps_over = rank_caps
         if rank_caps is not None:
             caps_over = [int(x) + int(oversample) for x in rank_caps]
+        if host_reeval is not None:
+            # device-pivots / host-data split (BENCH_NOTES 2026-08-18):
+            # cross at the inflated rank on device, re-evaluate the frozen
+            # skeleton with the host integrand, round + value all-host —
+            # the accuracy cure for platforms whose emulated f64 integrand
+            # values cap a device-built train (C_6: 12.7 -> 14.3 digits)
+            res = cross(fun, n, max_rank=r_over,
+                        accuracy=accuracy, pivoting=pivoting, quad=quad,
+                        truth=truth, key=key, dtype=dtype, verbose=verbose,
+                        use_pallas=use_pallas, max_sweeps=max_sweeps,
+                        small_element=small_element, small_pivot=small_pivot,
+                        weighted_lottery=weighted_lottery,
+                        sweep_mode=sweep_mode, adaptive=adaptive,
+                        rank_caps=caps_over, return_pivots=True)
+            res = _apply_host_reeval(res, host_reeval, n, max_rank,
+                                     quad, truth)
+            if not return_state:
+                res.state = None
+            return res
         res = cross(fun, n, max_rank=r_over,
                     accuracy=accuracy, pivoting=pivoting, quad=quad,
                     truth=truth, key=key, dtype=dtype, verbose=verbose,
@@ -1815,7 +1886,7 @@ def cross(
     )
     if return_state:
         res.state = st
-    elif return_pivots:
+    elif return_pivots or host_reeval is not None:
         # light skeleton hookup (cross/skeleton.py): the fused fast path
         # already ships vip in its packed output, so the export-cached
         # single-dispatch executable is kept — return_state=True would
@@ -1837,6 +1908,10 @@ def cross(
         res = _apply_refine(res, fun, n, refine_sweeps, quad, truth,
                             state=seed_state)
         if not user_return_state:
+            res.state = None
+    if host_reeval is not None:
+        res = _apply_host_reeval(res, host_reeval, n, None, quad, truth)
+        if not (return_state or return_pivots):
             res.state = None
     return res
 
