@@ -367,6 +367,37 @@ def test_cross_host_reeval_kwarg():
               rank_chunks=[4, 10], **base)
 
 
+def test_cross_host_reeval_auto():
+    """cross(host_reeval=True) auto-derives the host twin by running the
+    SAME traced integrand on the CPU x64 backend — no hand-written numpy
+    integrand needed, identical result to the explicit fun_np form."""
+    from ttcross_tpu.apps import make_ising
+    from ttcross_tpu.cross.skeleton import derive_host_fun
+
+    prob = make_ising("C", m=4, n=33)
+    base = dict(max_rank=10, accuracy=500 * 2.2e-16, pivoting=1,
+                quad=[prob.quad_weights] * prob.d, truth=prob.truth)
+    res_auto = cross(prob.fun, [prob.n] * prob.d, oversample=4,
+                     host_reeval=True, **base)
+    res_np = cross(prob.fun, [prob.n] * prob.d, oversample=4,
+                   host_reeval=prob.fun_np, **base)
+    assert res_auto.history[-1].direction == "hr"
+    assert -np.log10(res_auto.errors[-1]) >= 11.5
+    # same pivots (same run), same host data up to reduction-order noise
+    assert abs(res_auto.values[-1] / res_np.values[-1] - 1.0) < 1e-13
+
+    # the derived twin agrees with the hand-written numpy twin pointwise
+    fun_np = derive_host_fun(prob.fun)
+    ind = np.random.default_rng(0).integers(
+        0, prob.n, size=(128, prob.d)).astype(np.int32)
+    a, b = fun_np(ind), prob.fun_np(ind)
+    assert np.max(np.abs(a - b) / np.abs(b)) < 5e-15
+
+    # host_reeval=False behaves as None (no 'hr' record)
+    res_off = cross(prob.fun, [prob.n] * prob.d, host_reeval=False, **base)
+    assert all(rec.direction != "hr" for rec in res_off.history)
+
+
 def test_extract_requires_state():
     nodes, w = _grid()
     fun = _rank2_fun(nodes)

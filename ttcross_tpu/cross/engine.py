@@ -1580,7 +1580,7 @@ def cross(
     init_state: CrossState | None = None,
     return_state: bool = False,
     return_pivots: bool = False,
-    host_reeval: "Callable | None" = None,
+    host_reeval: "Callable | bool | None" = None,
     max_sweeps: int | None = None,
     small_element: float | None = None,
     small_pivot: float | None = None,
@@ -1605,6 +1605,13 @@ def cross(
     cross/skeleton.py::extract_skeleton) WITHOUT leaving the export-cached
     single-dispatch fast path (return_state=True materializes the full
     CrossState and runs per-sweep dispatches); plain single-chunk runs only.
+    host_reeval: re-evaluate the frozen pivot skeleton with a correctly-
+    rounded host integrand and rebuild/round/value the train all-host —
+    the accuracy cure for platforms whose emulated device f64 caps the
+    train's digits (BENCH_NOTES 2026-08-18).  True auto-derives the host
+    twin by running the SAME traced integrand on the CPU x64 backend
+    (skeleton.py::derive_host_fun); a callable ``fun_np(ind)->(B,) f64``
+    overrides it (e.g. a hand-written numpy integrand).
     rank_chunks: rank-padding growth schedule (increasing, last = max_rank),
     or "auto" for ~4 evenly spaced levels: early sweeps run at a small
     padded rank so the ACTUAL evaluated batch sizes track the reference's
@@ -1658,6 +1665,15 @@ def cross(
         raise ValueError("cross requires d >= 2")
     if max_rank < 2:
         raise ValueError("max_rank must be >= 2")
+    if host_reeval is True:
+        # auto-derive the host twin: the SAME traced integrand on the CPU
+        # x64 backend (true f64) — no hand-written numpy twin required;
+        # fun_np-style callables stay accepted as explicit overrides
+        from .skeleton import derive_host_fun
+
+        host_reeval = derive_host_fun(fun)
+    elif host_reeval is False:
+        host_reeval = None
     if host_reeval is not None and (rank_chunks is not None or refine_sweeps
                                     or init_state is not None):
         # the host rebuild rides the fused fast path's packed pivots (the

@@ -9,13 +9,19 @@ first skips straight to the compile-cache hit.
 
 Safety: a stale or mismatched artifact must never be used silently.  The
 cache key binds
-  * a hash of the engine source files (any engine edit invalidates),
+  * the TRACED PROGRAM: a hash of the canonical jaxpr of the function
+    being exported (text + captured constants).  Refactors, comment
+    edits, and docstring changes that leave the traced program identical
+    keep every warm artifact (source-file hashing — the previous scheme —
+    invalidated the whole cache on any engine edit, costing minutes of
+    axon lowering per round); any change that alters the traced program
+    still invalidates exactly the artifacts it affects,
   * the full CrossConfig + run parameters,
   * jax version and device platform/kind,
   * a VALUE FINGERPRINT of the integrand: its outputs on 64 fixed
     pseudo-random probe indices, hashed.  Two integrands that agree on the
     probe batch but differ elsewhere would collide, but the probe covers
-    the full index domain with 64 x d samples; combined with the source
+    the full index domain with 64 x d samples; combined with the program
     hash this is far stronger than any name-based key.
 
 Every failure path falls back to the uncached function.
@@ -31,8 +37,6 @@ import numpy as np
 
 __all__ = ["cached_full_fn", "enabled"]
 
-_SRC_HASH = None
-
 
 def enabled() -> bool:
     return os.environ.get("TTCROSS_EXPORT_CACHE", "1") not in ("0", "", "false")
@@ -46,25 +50,21 @@ def _cache_dir() -> str:
     return d
 
 
-def _source_hash() -> str:
-    global _SRC_HASH
-    if _SRC_HASH is None:
-        from .. import config
-        from ..ops import dd, dense, lu, pallas_kernels
-        from ..parallel import engine as parallel_engine
-        from . import chains, engine, state
+def _program_hash(trace_fn, example_args) -> str:
+    """Hash of the canonical jaxpr (text + captured constants) of the
+    function about to be exported — the artifact's TRUE identity.  Tracing
+    costs ~1 s; axon lowering (what the cache skips) costs 35-90 s, so an
+    extra trace on cache hits is a fine price for keys that survive
+    source refactors.  Constants are hashed by value because the jaxpr
+    printer elides large arrays (two engines differing only in a captured
+    node table would collide on text alone)."""
+    import jax
 
-        h = hashlib.sha256()
-        # every module whose code can be traced into the exported artifact
-        # (dd supplies _exact_pow2 / balancing used by value_fn and the
-        # lookup rescale; pallas_kernels is traced when cfg.use_pallas,
-        # parallel.engine when the distributed path caches its executable)
-        for mod in (engine, chains, state, lu, dense, dd, config,
-                    pallas_kernels, parallel_engine):
-            with open(mod.__file__, "rb") as f:
-                h.update(f.read())
-        _SRC_HASH = h.hexdigest()[:16]
-    return _SRC_HASH
+    closed = jax.make_jaxpr(trace_fn)(*example_args)
+    h = hashlib.sha256(str(closed).encode())
+    for c in closed.consts:
+        h.update(np.asarray(c).tobytes())
+    return h.hexdigest()[:16]
 
 
 def _fingerprint(fun, cfg) -> str:
@@ -86,14 +86,6 @@ def _fingerprint(fun, cfg) -> str:
     except Exception:
         vals = np.asarray(fun(jnp.asarray(ind)), dtype=np.float64)
     return hashlib.sha256(vals.tobytes()).hexdigest()[:16]
-
-
-def _module_hash(modules) -> str:
-    h = hashlib.sha256()
-    for mod in modules:
-        with open(mod.__file__, "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:16]
 
 
 def _code_fingerprint(fun2, cfg, params) -> str:
@@ -150,12 +142,10 @@ def cached_batch_fn(batch_fn, fun2, cfg, max_sweeps: int, with_quad: bool,
     import jax
 
     try:
-        from . import batch as batch_mod
-
         L = int(np.shape(jax.tree_util.tree_leaves(params)[0])[0])
         dev = jax.devices()[0]
         key = "|".join([
-            _source_hash(), _module_hash((batch_mod,)),
+            _program_hash(batch_fn, example_args),
             _code_fingerprint(fun2, cfg, params), repr(cfg),
             f"batch:{max_sweeps}:{with_quad}:{accuracy}:L{L}",
             jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
@@ -174,10 +164,10 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
     tracing on a miss.  kind distinguishes executables that share the same
     config (the fused full run vs a chunk's run_fn).
 
-    extra_src_modules: modules OUTSIDE the engine set of _source_hash whose
-    code is traced into THIS artifact (e.g. cross.maxvol for the refine
-    executable) — hashed into the key per-call so an edit there invalidates
-    only its own artifacts, not the warm engine executables."""
+    extra_src_modules: accepted for backward compatibility and ignored —
+    the program hash covers EVERY module traced into the artifact (the
+    jaxpr is the artifact's identity), so source-set bookkeeping is no
+    longer part of the key."""
     import jax
     from jax import export
 
@@ -195,10 +185,11 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
     try:
         dev = jax.devices()[0]
         key = "|".join([
-            _source_hash(), _fingerprint(fun, cfg), repr(cfg),
+            _program_hash(full_fn, example_args), _fingerprint(fun, cfg),
+            repr(cfg),
             f"{kind}:{max_sweeps}:{with_quad}:{accuracy}",
             jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
-        ] + ([_module_hash(extra_src_modules)] if extra_src_modules else []))
+        ])
         return _serve(key, full_fn, example_args)
     except Exception as e:  # pragma: no cover - fallback must never fail
         warnings.warn(f"ttcross export cache disabled for this call: {e!r}")

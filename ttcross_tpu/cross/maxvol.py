@@ -459,15 +459,12 @@ def maxvol_refine(fun, n: Sequence[int], ranks=None, init_sets=None,
         ck = (id(run), "mv")
         cached = _MV_EXPORT.get(ck)
         if cached is None:
-            import sys
-
-            # this module's code is traced into the artifact but is not in
-            # _source_hash's engine set: hash it into THIS key so a maxvol
-            # edit can never serve a stale refine executable
+            # the cache key is the traced program's jaxpr hash, which
+            # covers this module's code — a maxvol edit that changes the
+            # traced refine executable can never serve a stale artifact
             cached = export_cache.cached_full_fn(
                 run, fun, _MVCfg(n=n, R=R, x=n_exchange, tol=tol), 0,
-                False, None, args, kind="maxvol",
-                extra_src_modules=(sys.modules[__name__],))
+                False, None, args, kind="maxvol")
             _MV_EXPORT[ck] = cached
         run = cached
     cores, LI2, RJ2, neval, padded = run(*args)

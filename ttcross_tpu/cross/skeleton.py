@@ -46,7 +46,34 @@ from jax.scipy.linalg import solve_triangular
 from .chains import pivot_index_sets
 
 __all__ = ["Skeleton", "extract_skeleton", "skeleton_value_fn",
-           "skeleton_tt_fn", "reevaluate_host"]
+           "skeleton_tt_fn", "reevaluate_host", "derive_host_fun"]
+
+
+def derive_host_fun(fun: Callable) -> Callable:
+    """Auto-derive the host-accurate integrand twin from the traced one.
+
+    ``cross(host_reeval=True)`` needs an integrand whose f64 is correctly
+    rounded; on this TPU the emulated f64 multiply carries ~7e-15 median
+    relative error (BENCH_NOTES 2026-08-18).  Rather than requiring a
+    hand-written numpy twin (``fun_np=``), run the SAME traced integrand
+    on the CPU x64 backend — true IEEE double — by jitting it under
+    ``jax.default_device(cpu)``.  The ``lookup_backend("cpu")`` override
+    makes the CPU executable use native gathers instead of the one-hot
+    MXU path (``jax.default_backend()`` still reports the TPU during the
+    CPU trace).  Returns ``fun_np(ind (B, d) int numpy) -> (B,) f64
+    numpy``, the protocol of reevaluate_host."""
+    from ..ops.dense import lookup_backend
+
+    cpu = jax.devices("cpu")[0]
+    jitted = jax.jit(fun)
+
+    def fun_np(ind):
+        ind = np.asarray(ind, np.int32)
+        with jax.default_device(cpu), lookup_backend("cpu"):
+            out = jitted(ind)
+        return np.asarray(out, np.float64)
+
+    return fun_np
 
 
 @dataclass(frozen=True)

@@ -10,6 +10,8 @@ lax control flow so they stay jittable.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,12 +32,35 @@ def onehot_rows(ind, n: int, dtype=jnp.float32):
     return (ind[..., None] == jnp.arange(n)).astype(dtype)
 
 
+_LOOKUP_BACKEND_OVERRIDE: list = []   # stack; "cpu" forces gather paths
+
+
+@contextlib.contextmanager
+def lookup_backend(name: str):
+    """Force the table-lookup dispatch for code traced inside the context.
+
+    ``jax.default_backend()`` reports the process default platform even
+    when a computation is being staged for another device (verified on
+    jax 0.9: jit under ``jax.default_device(cpu)`` from a TPU session
+    still sees "tpu"), so code compiled FOR the CPU from a TPU session
+    would bake the one-hot MXU path.  The auto-derived host integrand
+    twin (cross/skeleton.py::derive_host_fun) traces under
+    ``lookup_backend("cpu")`` so its CPU executable uses native gathers."""
+    _LOOKUP_BACKEND_OVERRIDE.append(str(name))
+    try:
+        yield
+    finally:
+        _LOOKUP_BACKEND_OVERRIDE.pop()
+
+
 def _mxu_backend() -> bool:
     """True when the default backend has a matrix unit (TPU/axon): the
     one-hot lookup trick trades gathers (the TPU slow path, ~ns/element)
     for MXU matmuls; on CPU the trade INVERTS (three matmuls + f32 splits
     cost ~30% of a C_32 sweep vs a native gather).  Resolved at trace
     time — by then the backend is already selected and initialized."""
+    if _LOOKUP_BACKEND_OVERRIDE:
+        return _LOOKUP_BACKEND_OVERRIDE[-1] != "cpu"
     try:
         return jax.default_backend() != "cpu"
     except Exception:
