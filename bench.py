@@ -43,13 +43,21 @@ HEADLINE_PROBE_TIMEOUT_S = 900
 TPU_ALIVE_TIMEOUT_S = 300
 
 
-def _baseline_evals_per_sec():
-    """Measured same-host baseline (C++ reference twin) if available."""
+def _baseline_measured():
+    """baseline/measured.json contents (same-host C++ twin) or None."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "baseline", "measured.json")
     try:
         with open(path) as f:
-            data = json.load(f)
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _baseline_evals_per_sec():
+    """Measured same-host baseline (C++ reference twin) if available."""
+    data = _baseline_measured()
+    try:
         v = float(data["ising_c6"]["evals_per_sec"])
         if v > 0:
             return v, False
@@ -144,6 +152,17 @@ def _headline_payload(res, elapsed, device):
     }
     if nominal:
         out["baseline_nominal"] = True
+    else:
+        # the measured same-host comparable (baseline/measured.json, a
+        # C++17+OpenMP twin of dtt_dmrgg): note it is the GREEDY algorithm
+        # at rank 24 — its digits cap at the greedy ceiling (~11.9 on this
+        # config) while this headline's oversample+host_reeval pipeline
+        # reaches 14+; vs_baseline compares raw integrand throughput
+        data = _baseline_measured()["ising_c6"]
+        out["baseline_evals_per_sec"] = data["evals_per_sec"]
+        out["baseline_digits"] = data["correct_digits"]
+        out["baseline_wall_s"] = data["wall_time_s"]
+        out["baseline_threads"] = data["threads"]
     return out
 
 
