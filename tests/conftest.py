@@ -128,7 +128,29 @@ def _cap_jit_mappings():
         jax.clear_caches()
 
 
+# Smoke tier (`pytest -m smoke`): a <3-minute green signal on a 1-core
+# host — the full unit layer plus one end-to-end engine config per family
+# and the multi-chip dryrun.  The full default run is compile-dominated
+# (test_engine.py + test_skeleton.py alone exceed 9 minutes on 1 core), so
+# reviewers/CI select this tier for bounded-time verification.
+SMOKE_MODULES = {
+    "test_dense", "test_tt_ops", "test_utils", "test_lu", "test_ortho",
+    "test_quadrature", "test_apps", "test_chains", "test_serialize",
+    "test_dd", "test_qd", "test_native", "test_baseline",
+}
+SMOKE_TESTS = {
+    ("test_engine", "test_stdnorm_digits"),       # rank-1 engine e2e
+    ("test_engine", "test_ising_c4_digits"),      # pivot-growth engine e2e
+    ("test_parallel", "test_graft_entry_dryrun"), # 8-device mesh dryrun
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.originalname or item.name
+        if mod in SMOKE_MODULES or (mod, name) in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
     if RUN_SLOW or config.getoption("-m"):
         return
     skip = pytest.mark.skip(reason="slow: set TTCROSS_SLOW=1 or -m slow to run")
