@@ -4,6 +4,7 @@
 contractions with Fourier weights; compares against the reference's
 golden values — see tests/test_chf.py for the known offset in those)."""
 
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -33,7 +34,23 @@ def main():
     print(f"...with {res.neval} evaluations completed in {res.time:.4e} sec.")
 
     print("   Preparing quadrature tensor...")
-    phis = np.asarray(basket_chf(res.tt, prob.nodes, prob.quad_weights, 32))
+    ndev_s = os.environ.get("TTCROSS_MESH", "")
+    if ndev_s:
+        # distributed ztt_quad: all 32 Fourier contractions in ONE meshed
+        # collective (parallel/quad.py::pcontract) instead of 32 sequential
+        # ones (test_crs_chf.f90:153-168)
+        import jax
+
+        from ttcross_tpu.parallel import pcontract
+        from ttcross_tpu.parallel.mesh import bond_mesh
+
+        omega = np.arange(32) * np.pi / 300.0
+        phase = omega[:, None] * np.exp(prob.nodes)[None, :] / d
+        w_k = prob.quad_weights[None, :] * np.exp(1j * phase)
+        mesh = bond_mesh(jax.devices()[: int(ndev_s)])
+        phis = pcontract(res.tt, [w_k] * d, mesh)
+    else:
+        phis = np.asarray(basket_chf(res.tt, prob.nodes, prob.quad_weights, 32))
     for k in range(32):
         print(f"computed value: {phis[k].real:.16e} {phis[k].imag:.16e}")
         if d == 6:  # the goldens are d=6 values (test_crs_chf.f90:232-271)

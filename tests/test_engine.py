@@ -370,3 +370,34 @@ def test_oversample_respects_rank_caps():
     # the inflated run was capped at (6, 8): bond 0 cannot exceed 6
     assert r.ranks[1] <= 6
     assert r.errors[-1] < 1e-6
+
+
+def test_ising_de_rescaling_d10():
+    """The D/E underflow-rescaling regime at d >= 10 end-to-end
+    (test_crs_ising.f90:135-144: weights scaled by 5*(n//2) per dim, the
+    rank-1 quad tensor compensating by 1/val).  No tabulated truth exists
+    for m=10, so the assertions are the mechanics the rescale protects:
+    integrand values stay inside the floating range (no flush-to-zero,
+    no overflow), the cross converges (cnv), and an oversampled run
+    reproduces the value (self-consistency)."""
+    for kind in ("D", "E"):
+        prob = make_ising(kind, m=10, n=17)
+        assert prob.rescale, "m >= 10 D/E must take the rescaled path"
+        # the rescale keeps sampled integrand values normal-range
+        rng = np.random.default_rng(7)
+        ind = rng.integers(0, prob.n, size=(512, prob.d)).astype(np.int32)
+        vals = np.asarray(prob.fun(ind))
+        assert np.all(np.isfinite(vals))
+        amax = np.max(np.abs(vals))
+        assert 1e-300 < amax < 1e300
+        assert np.count_nonzero(vals) > 0.9 * len(vals)
+
+        args = dict(max_rank=8, accuracy=500 * 2.2e-16, pivoting=1,
+                    quad=[prob.quad_weights] * prob.d)
+        res = cross(prob.fun, [prob.n] * prob.d, **args)
+        v1 = res.values[-1]
+        assert np.isfinite(v1) and v1 != 0.0
+        assert res.errors[-1] < 1e-5          # cnv: converging, not stuck
+        res2 = cross(prob.fun, [prob.n] * prob.d, oversample=4, **args)
+        # self-consistency: a rescaling bug is orders-of-magnitude off
+        assert abs(1.0 - res2.values[-1] / v1) < 1e-4

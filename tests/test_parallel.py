@@ -379,3 +379,84 @@ def test_parallel_adaptive_gating():
     assert b.neval < a.neval * 0.8, (b.neval, a.neval)
     assert b.errors[-1] == a.errors[-1]
     assert a.ranks == b.ranks
+
+
+def test_pcontract_matches_host(rng):
+    """Meshed TT contraction (parallel/quad.py::pcontract): real and
+    complex weights on the 8-device mesh match the single-device path to
+    rounding — the distributed ztt_quad (dmrgg.f90:1418-1523)."""
+    import ttcross_tpu.tt as tt
+    from ttcross_tpu.parallel import pcontract
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    n, r = (4, 5, 3, 6, 4), (1, 3, 4, 2, 3, 1)
+    cores = [rng.standard_normal((r[i], n[i], r[i + 1])) for i in range(5)]
+    t = tt.from_cores(cores)
+    mesh = bond_mesh(jax.devices()[:8])
+
+    ws_r = [rng.standard_normal(ni) for ni in n]
+    got = pcontract(t, ws_r, mesh)
+    np.testing.assert_allclose(got, float(tt.contract(t, ws_r)), rtol=1e-12)
+
+    ws_c = [w + 1j * rng.standard_normal(len(w)) for w in ws_r]
+    got_c = pcontract(t, ws_c, mesh)
+    np.testing.assert_allclose(got_c, complex(tt.contract(t, ws_c)),
+                               rtol=1e-12)
+
+
+def test_pcontract_chf_family(rng):
+    """The chf driver's 32 Fourier contractions as ONE meshed collective:
+    K-lane pcontract on the 8-device mesh matches basket_chf run on the
+    single device (test_crs_chf.f90:153-168's 32 sequential ztt_quads)."""
+    import ttcross_tpu.tt as tt
+    from ttcross_tpu.apps import make_mvn
+    from ttcross_tpu.apps.chf import basket_chf
+    from ttcross_tpu.cross import cross
+    from ttcross_tpu.parallel import pcontract
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    prob = make_mvn(d=4, n=17)
+    res = cross(prob.fun, [prob.n] * 4, max_rank=6,
+                accuracy=500 * 2.2e-16, pivoting=1)
+    want = basket_chf(res.tt, prob.nodes, prob.quad_weights, n_terms=32)
+
+    omega = np.arange(32) * np.pi / 300.0
+    phase = omega[:, None] * np.exp(prob.nodes)[None, :] / 4
+    w_k = prob.quad_weights[None, :] * np.exp(1j * phase)   # (32, n)
+    mesh = bond_mesh(jax.devices()[:8])
+    got = pcontract(res.tt, [w_k] * 4, mesh)
+    assert got.shape == (32,)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_parallel_export_cache_multidevice(rng, tmp_path, monkeypatch):
+    """Multi-device export cache (round 4): the shard_map'd run exports,
+    serializes, and is re-served from disk with mesh-resident inputs —
+    the second launch reuses the artifact bit-identically (previously
+    1-device meshes only; PARITY.md note)."""
+    import ttcross_tpu.tt as tt
+    from ttcross_tpu.parallel import cross_parallel
+    from ttcross_tpu.parallel.mesh import bond_mesh
+
+    monkeypatch.setenv("TTCROSS_EXPORT_CACHE", "1")
+    monkeypatch.setenv("TTCROSS_EXPORT_CACHE_DIR", str(tmp_path))
+    ranks = (1, 2, 3, 3, 2, 1)
+    cores = [rng.standard_normal((ranks[i], 6, ranks[i + 1]))
+             for i in range(5)]
+    T = tt.from_cores(cores)
+    dense = np.asarray(tt.full(T))
+
+    def fun(ind):
+        return tt.gather(T, ind)
+
+    mesh = bond_mesh(jax.devices()[:2])
+    r1 = cross_parallel(fun, [6] * 5, max_rank=4, pivoting=1,
+                        accuracy=1e-12, mesh=mesh)
+    arts = list(tmp_path.glob("*.bin"))
+    assert arts, "multi-device run must write an export artifact"
+    r2 = cross_parallel(fun, [6] * 5, max_rank=4, pivoting=1,
+                        accuracy=1e-12, mesh=mesh)
+    assert list(tmp_path.glob("*.bin")) == arts   # reused, not re-exported
+    np.testing.assert_array_equal(np.asarray(tt.full(r1.tt)),
+                                  np.asarray(tt.full(r2.tt)))
+    assert np.abs(np.asarray(tt.full(r2.tt)) - dense).max() < 1e-11

@@ -106,3 +106,32 @@ def test_ones_zeros():
 def test_erank():
     o = tt.ones((3, 3, 3, 3))
     assert o.erank() == pytest.approx(1.0)
+
+
+def test_contract_complex_weights_device_pair(rng):
+    """Real train x complex weights runs the DEVICE (re, im) pair path
+    and matches the host complex128 chain to rounding (the ztt_quad
+    equivalence, dmrgg.f90:1418-1523)."""
+    t = random_tt(rng)
+    ws = [rng.standard_normal(ni) + 1j * rng.standard_normal(ni)
+          for ni in t.n]
+    got = tt.contract(t, ws)
+    # host complex reference chain
+    v = np.ones((1,), dtype=np.complex128)
+    for c in range(t.d):
+        v = v @ np.einsum("inj,n->ij", np.asarray(t.cores[c]), ws[c])
+    assert isinstance(got, complex)
+    np.testing.assert_allclose(got, v[0], rtol=1e-13)
+
+
+def test_contract_complex_cores_host(rng):
+    """Complex-cored trains keep the host path (no complex dtype on TPU)."""
+    cores = [rng.standard_normal((r, n, r2)) + 1j * rng.standard_normal((r, n, r2))
+             for (r, n, r2) in [(1, 3, 2), (2, 4, 1)]]
+    t = tt.from_cores([np.asarray(c) for c in cores])
+    ws = [np.ones(3), np.ones(4)]
+    got = tt.contract(t, ws)
+    v = np.ones((1,), dtype=np.complex128)
+    for c in range(2):
+        v = v @ np.einsum("inj,n->ij", cores[c], ws[c])
+    np.testing.assert_allclose(got, v[0], rtol=1e-13)

@@ -1658,6 +1658,12 @@ def cross(
     residual hides > `adaptive`-fold above the lottery's best draw is
     skipped that sweep (the lottery re-probes every sweep, so a gated bond
     is reconsidered, not frozen).  Sequential sweeps with pivoting >= 0.
+    NOTE — this is an evaluation-BUDGET feature, not a wall-time one: the
+    per-bond lax.cond gating costs more than the skipped fibers save when
+    the integrand is cheap traced code (measured: stdnorm d=10 saves 28%
+    of evals at identical digits but runs ~36% slower; accept-heavy runs
+    gate nothing).  Use it when integrand calls have real external cost
+    (host callbacks, expensive coefficient tensors at large d).
     """
     n = tuple(int(x) for x in n)
     d = len(n)

@@ -112,9 +112,17 @@ def _code_fingerprint(fun2, cfg, params) -> str:
     return h.hexdigest()[:16]
 
 
-def _serve(key: str, trace_fn, example_args):
+def _serve(key: str, trace_fn, example_args, mesh=None):
     """Common disk machinery: deserialize the artifact at the hashed key,
-    or export trace_fn on example_args and persist it."""
+    or export trace_fn on example_args and persist it.
+
+    mesh: required for MULTI-DEVICE programs (shard_map'd runs).  An
+    exported N-device module refuses to run "in a context with 1
+    devices" — the call context is established by handing it inputs that
+    live on the N-device mesh, so the returned callable device_puts every
+    argument replicated over `mesh` first (replication matches the
+    unspecified in_shardings these runs export with; verified on jax 0.9,
+    8-device virtual mesh)."""
     import jax
     from jax import export
 
@@ -130,7 +138,17 @@ def _serve(key: str, trace_fn, example_args):
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
-    return jax.jit(exp.call)
+    call = jax.jit(exp.call)
+    if mesh is None or mesh.devices.size == 1:
+        return call
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def call_on_mesh(*args):
+        return call(*jax.device_put(args, replicated))
+
+    return call_on_mesh
 
 
 def cached_batch_fn(batch_fn, fun2, cfg, max_sweeps: int, with_quad: bool,
@@ -158,7 +176,7 @@ def cached_batch_fn(batch_fn, fun2, cfg, max_sweeps: int, with_quad: bool,
 
 def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
                    accuracy, example_args, kind: str = "full",
-                   extra_src_modules=()):
+                   extra_src_modules=(), mesh=None):
     """Return a callable equivalent to full_fn, backed by the on-disk
     export cache.  example_args: concrete arguments used for export
     tracing on a miss.  kind distinguishes executables that share the same
@@ -189,8 +207,8 @@ def cached_full_fn(full_fn, fun, cfg, max_sweeps: int, with_quad: bool,
             repr(cfg),
             f"{kind}:{max_sweeps}:{with_quad}:{accuracy}",
             jax.__version__, dev.platform, getattr(dev, "device_kind", "?"),
-        ])
-        return _serve(key, full_fn, example_args)
+        ] + ([f"mesh:{mesh.devices.size}"] if mesh is not None else []))
+        return _serve(key, full_fn, example_args, mesh=mesh)
     except Exception as e:  # pragma: no cover - fallback must never fail
         warnings.warn(f"ttcross export cache disabled for this call: {e!r}")
         return full_fn

@@ -568,22 +568,23 @@ def cross_parallel(
     run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
     from ..cross import export_cache
 
-    if export_cache.enabled() and mesh.devices.size == 1:
+    if export_cache.enabled():
         # the distributed executable pays the same ~35-90 s axon lowering
         # as the fused single-device run; cache its exported artifact too
         # (keyed additionally by mesh size + slab layout via `kind`).
-        # Single-device meshes only: a multi-device export cannot be
-        # re-called through plain jit (device-count mismatch), and the
-        # slow axon lowering this skips is a single-chip-tunnel cost —
-        # multi-device runs are the virtual CPU mesh, whose lowering is
-        # ~1 s
+        # Multi-device exports need the call context established by
+        # mesh-resident inputs (export_cache._serve handles the replicated
+        # device_put) — distributed launches then skip lowering entirely,
+        # and the same mechanism carries to real multi-chip meshes (the
+        # artifact is keyed by device kind + mesh size, so a v5e-8 export
+        # is reused across processes on the same pod slice)
         ck = (id(run_fn), "par")
         cached = _EXPORT_WRAP_PAR.get(ck)
         if cached is None:
             kind = f"parallel:{mesh.devices.size}:{'' if mybonds is None else list(mybonds)}"
             cached = export_cache.cached_full_fn(
                 run_fn, fun, cfg, max_sweeps, with_quad, accuracy, (st, w),
-                kind=kind)
+                kind=kind, mesh=mesh)
             _EXPORT_WRAP_PAR[ck] = cached
         run_fn = cached
     st, last_it, vals, pmax, nev = run_fn(st, w)

@@ -92,6 +92,22 @@ def _contract_real(cores, ws):
     return v[0]
 
 
+@jax.jit
+def _contract_pair(cores, ws_r, ws_i):
+    """Complex contraction of a REAL train as explicit (re, im) pair
+    arithmetic — the device rendering of ztt_quad's local chain
+    (dmrgg.f90:1418-1523) on hardware with no complex dtype.  Every step
+    is two real matmuls on the MXU; exactness matches complex128 to
+    rounding order."""
+    vr = jnp.ones((1,), dtype=cores[0].dtype)
+    vi = jnp.zeros((1,), dtype=cores[0].dtype)
+    for g, wr, wi in zip(cores, ws_r, ws_i):
+        mr = jnp.einsum("inj,n->ij", g, wr)
+        mi = jnp.einsum("inj,n->ij", g, wi)
+        vr, vi = vr @ mr - vi @ mi, vr @ mi + vi @ mr
+    return vr[0], vi[0]
+
+
 def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
     """Full contraction against per-mode weight vectors (local part of
     dtt_quad, dmrgg.f90:1323-1345).  weights=None sums all entries
@@ -110,11 +126,25 @@ def contract(t: TT, weights: Sequence[jax.Array] | None = None) -> jax.Array:
             w.dtype if hasattr(w, "dtype") else _np.asarray(w).dtype
             for w in weights])
     if jnp.issubdtype(dt, jnp.complexfloating):
-        # complex contraction runs on HOST in native numpy: TPU hardware has
-        # no complex dtype (ztt_quad equivalent), and the contraction is
-        # O(d r^2 n) post-processing work — microseconds on CPU
         import numpy as _np
 
+        if not jnp.issubdtype(t.dtype, jnp.complexfloating):
+            # REAL train x complex weights (the ztt_quad use every driver
+            # actually performs: dtt->ztt promotion is real data) runs
+            # ON DEVICE as (re, im) pair arithmetic — two real matmuls per
+            # core, no complex dtype needed.  Mesh version:
+            # parallel/quad.py::pcontract.
+            ws = weights if weights is not None else [
+                _np.ones((ni,)) for ni in t.n]
+            ws = [_np.asarray(w, _np.complex128) for w in ws]
+            wr = tuple(jnp.asarray(w.real) for w in ws)
+            wi = tuple(jnp.asarray(w.imag) for w in ws)
+            re, im = _contract_pair(tuple(t.cores), wr, wi)
+            return complex(re) + 1j * complex(im)
+
+        # COMPLEX-cored trains stay on HOST in native numpy: TPU hardware
+        # has no complex dtype to even store the cores, and the contraction
+        # is O(d r^2 n) post-processing work — microseconds on CPU
         v = _np.ones((1,), dtype=_np.complex128)
         for c in range(t.d):
             g = _np.asarray(t.cores[c]).astype(_np.complex128)
