@@ -325,7 +325,7 @@ struct Engine {
     }
 
     double feval(int i, int j, int k, int q, int b) const {
-        int ind[64];
+        int ind[2048];  // tt_size bound (tt.f90:16)
         full_index(i, j, k, q, b, ind);
         return prob->fun(ind);
     }
@@ -345,7 +345,7 @@ struct Engine {
 #pragma omp parallel for collapse(2)
             for (int s = 0; s < snum; ++s)
                 for (int k = 0; k < n; ++k) {
-                    int ind[64];
+                    int ind[2048];  // tt_size bound (tt.f90:16)
                     for (int p = 0; p < d; ++p) ind[p] = (k + s * p) % n;
                     vals[size_t(s) * n + k] = prob->fun(ind);
                 }
@@ -375,7 +375,7 @@ struct Engine {
                 int jb = std::min(c, d - 2);        // bond owning this fiber
                 // core c fiber: indices fixed at the initial pivot except
                 // mode c
-                int ind[64];
+                int ind[2048];  // tt_size bound (tt.f90:16)
                 for (int p = 0; p < d; ++p) ind[p] = ind0[p];
                 ind[c] = j;
                 u[c].at(0, j, 0) = prob->fun(ind);
