@@ -88,32 +88,83 @@ def advance_right(rtab: jax.Array, vip_p1: jax.Array, p) -> jax.Array:
     return jnp.where(col[None, :] == p + 2, vip_p1[:, 2][:, None], nt)
 
 
-def all_left_tables(vip: jax.Array, d: int) -> jax.Array:
-    """LT (d-1, R, d): left table of every bond, one forward scan."""
+def _compose_chain_ops(u, v):
+    """Compose two chain-table operators, u applied FIRST, v second.
+
+    An operator is the effect of a run of bonds on a (R, d) table:
+    ``op(tab) = where(m, w, tab[g])`` with g a (R,) link-gather map, w a
+    (R, d) overlay holding the mode indices the run writes, and m a (d,)
+    column mask of written columns.  Composition is itself such an
+    operator — ``(v∘u)(tab) = where(m_v, w_v, u(tab)[g_v])`` — which makes
+    the per-bond recurrence of advance_left/advance_right ASSOCIATIVE and
+    unlocks a log2(d)-depth associative_scan in place of the d-step serial
+    lax.scan (the jacobi sweep's latency wall at C_256: four 254-step
+    scans per sweep).  The row permutations run as exact one-hot f32 MXU
+    matmuls on accelerators (indices < 2^24; gathers are element-serial
+    on this TPU) and native take_along_axis on CPU."""
+    g_u, w_u, m_u = u
+    g_v, w_v, m_v = v
+    from ..ops.dense import _mxu_backend
+
+    if _mxu_backend():
+        R = g_u.shape[-1]
+        oh = (g_v[..., None] == jnp.arange(R)).astype(jnp.float32)
+        g = jnp.einsum("...ts,...s->...t", oh,
+                       g_u.astype(jnp.float32)).astype(g_u.dtype)
+        wg = jnp.einsum("...ts,...sd->...td", oh,
+                        w_u.astype(jnp.float32)).astype(w_u.dtype)
+    else:
+        g = jnp.take_along_axis(g_u, g_v, axis=-1)
+        wg = jnp.take_along_axis(w_u, g_v[..., None], axis=-2)
+    w = jnp.where(m_v[..., None, :], w_v, wg)
+    return g, w, m_u | m_v
+
+
+def _chain_ops(vip: jax.Array, d: int, left: bool):
+    """Per-bond operator elements for the associative chain-table scan.
+
+    left:  A_p(tab) = where(col==p,   vip[p,:,1], tab[vip[p,:,0]])
+    right: C_p(tab) = where(col==p+1, vip[p,:,2], tab[vip[p,:,3]])"""
+    nb = d - 1
     R = vip.shape[1]
-    lt0 = jnp.zeros((R, d), vip.dtype)
+    col = jnp.arange(d)
+    ps = jnp.arange(nb)
+    wcol = ps + (0 if left else 1)
+    m = col[None, :] == wcol[:, None]                      # (nb, d)
+    val = vip[:, :, 1 if left else 2]                      # (nb, R)
+    w = jnp.where(m[:, None, :], val[:, :, None],
+                  jnp.zeros((nb, R, d), vip.dtype))
+    g = vip[:, :, 0 if left else 3]
+    return g, w, m
 
-    def step(lt, pb):
-        p, vb = pb
-        ltn = advance_left(lt, vb, p)
-        return ltn, lt
 
-    _, LT = jax.lax.scan(step, lt0, (jnp.arange(d - 1), vip))
-    return LT
+def all_left_tables(vip: jax.Array, d: int) -> jax.Array:
+    """LT (d-1, R, d): left table of every bond, log2(d)-depth.
+
+    LT[p] = (A_{p-1} ∘ ... ∘ A_0)(0): the w component of the (p-1)-th
+    INCLUSIVE prefix composition (unwritten columns stay zero), prefixes
+    by one associative_scan instead of a (d-1)-step serial lax.scan."""
+    R = vip.shape[1]
+    elems = _chain_ops(vip, d, left=True)
+    _, W, _ = jax.lax.associative_scan(_compose_chain_ops, elems)
+    lt0 = jnp.zeros((1, R, d), vip.dtype)
+    return jnp.concatenate([lt0, W[:-1]], axis=0)
 
 
 def all_right_tables(vip: jax.Array, d: int) -> jax.Array:
-    """RT (d-1, R, d): right table of every bond, one backward scan."""
+    """RT (d-1, R, d): right table of every bond, log2(d)-depth.
+
+    RT[p] = (C_{p+1} ∘ ... ∘ C_{d-2})(0) with C_{d-2} applied first: the
+    w component of the (p+1)-th inclusive SUFFIX composition.  In
+    associative_scan(reverse=True) the accumulated argument carries the
+    later-indexed bonds (the ones applied FIRST), so the combine keeps
+    _compose_chain_ops' (first, second) argument order."""
     R = vip.shape[1]
-    rt0 = jnp.zeros((R, d), vip.dtype)
-
-    def step(rt, pb):
-        p, vb = pb                     # p runs d-2 .. 0; emit carry as RT[p]
-        rtn = advance_right(rt, vb, p - 1)
-        return rtn, rt
-
-    _, RT = jax.lax.scan(step, rt0, (jnp.arange(d - 2, -1, -1), jnp.flip(vip, 0)))
-    return jnp.flip(RT, 0)
+    elems = _chain_ops(vip, d, left=False)
+    _, W, _ = jax.lax.associative_scan(
+        _compose_chain_ops, elems, reverse=True)
+    rt0 = jnp.zeros((1, R, d), vip.dtype)
+    return jnp.concatenate([W[1:], rt0], axis=0)
 
 
 def pivot_index_sets(vip, rk):
