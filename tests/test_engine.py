@@ -258,8 +258,10 @@ def test_jacobi_ising_envelope():
                 quad=[prob.quad_weights] * prob.d, truth=prob.truth)
     seq = cross(prob.fun, [prob.n] * prob.d, **args)
     jac = cross(prob.fun, [prob.n] * prob.d, sweep_mode="jacobi", **args)
-    ds = -np.log10(seq.errors[-1])
-    dj = -np.log10(jac.errors[-1])
+    # floor at f64 resolution: a perfect value (rel err rounds to exactly
+    # 0.0, observed with the pairwise-tree value_fn) would give inf digits
+    ds = -np.log10(max(float(seq.errors[-1]), 1e-16))
+    dj = -np.log10(max(float(jac.errors[-1]), 1e-16))
     assert dj >= 8.0, (ds, dj)
     assert abs(dj - ds) < 3.5, (ds, dj)   # same envelope, stochastic pivots
 

@@ -1067,11 +1067,13 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         # ---------------- batched lottery (all live bonds, one call)
         smask = iR[None, :] < rk_b[:, None]
         vb = win(st.vip)
-        psm = jnp.arange(mc)
-        used_col = jnp.zeros((mc, R * N), bool) \
-            .at[psm[:, None], vb[:, :, 0] * N + vb[:, :, 1]].max(smask)
-        used_row = jnp.zeros((mc, R * N), bool) \
-            .at[psm[:, None], vb[:, :, 3] * N + vb[:, :, 2]].max(smask)
+        # one-hot any-reductions, not scatter-max .at[].max (XLA scatter
+        # is ~8 ms/op on this TPU; the compare+any is dense VPU work)
+        linRN = jnp.arange(R * N)
+        used_col = jnp.any(((vb[:, :, 0] * N + vb[:, :, 1])[:, :, None]
+                            == linRN[None, None, :]) & smask[:, :, None], 1)
+        used_row = jnp.any(((vb[:, :, 3] * N + vb[:, :, 2])[:, :, None]
+                            == linRN[None, None, :]) & smask[:, :, None], 1)
         wcol = (cmask.reshape(mc, R * N) & ~used_col).astype(jnp.float64)
         wrow = (rmask2.transpose(0, 2, 1).reshape(mc, R * N)
                 & ~used_row).astype(jnp.float64)
@@ -1257,6 +1259,12 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         colf_flat = st.colf[:-1].reshape(nb, R * N, R)
 
         # ---------------- batched acceptance + vectorized replay
+        # NOTE: every accept-slot write below is a one-hot masked SELECT
+        # (where over a slot mask), not a scatter .at[].set — XLA scatter
+        # runs ~8 ms per op on this TPU regardless of size (measured
+        # 2026-08-19: 43k-element scatter 8 ms vs <1 ms as a one-hot
+        # where), and this function carries ~10 of them (was ~49 ms of
+        # the ~75 ms C_256 jacobi sweep).
         upd = ((jnp.abs(pivot) > cfg.small_element * amax)
                & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
                & (rk_b < R))
@@ -1266,26 +1274,22 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         c_new = batched_row_lookup(colf_flat, ii * N + jj) * rmask_b  # (nb, R)
         u_new = batched_row_lookup(rowf_perm, qq * N + kk) * rmask_b
         s_arr = rk_b.astype(jnp.int32)                         # slot per bond
-
-        def wsel(new, old, m=upd):
-            br = m.reshape((nb,) + (1,) * (new.ndim - 1))
-            return jnp.where(br, new, old)
+        one_hot_s = iR[None, :] == s_arr[:, None]              # (nb, R)
+        ohs_u = one_hot_s & upd[:, None]                       # accept slots
 
         vip_new = jnp.stack([ii, jj, kk, qq], axis=1).astype(jnp.int32)
-        vip = st.vip.at[ps, s_arr].set(wsel(vip_new, st.vip[ps, s_arr]))
-        lu_c = st.lu_c.at[ps, s_arr].set(wsel(c_new, st.lu_c[ps, s_arr]))
-        lu_u = st.lu_u.at[ps, s_arr].set(wsel(u_new, st.lu_u[ps, s_arr]))
-        lu_d = st.lu_d.at[ps, s_arr].set(wsel(pivot, st.lu_d[ps, s_arr]))
-        one_hot_s = iR[None, :] == s_arr[:, None]              # (nb, R)
+        vip = jnp.where(ohs_u[:, :, None], vip_new[:, None, :], st.vip)
+        lu_c = jnp.where(ohs_u[:, :, None], c_new[:, None, :], st.lu_c)
+        lu_u = jnp.where(ohs_u[:, :, None], u_new[:, None, :], st.lu_u)
+        lu_d = jnp.where(ohs_u, pivot[:, None], st.lu_d)
         new_row = jnp.where(one_hot_s, 1.0,
                             -jnp.einsum("pr,prs->ps", c_new, st.itl))
-        itl = st.itl.at[ps, s_arr, :].set(wsel(new_row, st.itl[ps, s_arr, :]))
+        itl = jnp.where(ohs_u[:, :, None], new_row[:, None, :], st.itl)
         new_col = jnp.where(one_hot_s, 1.0 / piv_safe[:, None],
                             -jnp.einsum("pab,pb->pa", st.itt, u_new)
                             / piv_safe[:, None])
-        itt = st.itt.at[ps[:, None], iR[None, :], s_arr[:, None]].set(
-            wsel(new_col, st.itt[ps[:, None], iR[None, :], s_arr[:, None]]))
-        rk = st.rk.at[jnp.arange(1, d)].add(upd.astype(st.rk.dtype))
+        itt = jnp.where(ohs_u[:, None, :], new_col[:, :, None], st.itt)
+        rk = st.rk.at[1:d].add(upd.astype(st.rk.dtype))
         apiv = jnp.abs(pivot)
         any_acc = jnp.any(upd)
         pm = jnp.max(jnp.where(upd, apiv, -jnp.inf))
@@ -1323,40 +1327,47 @@ def make_engine(fun: Callable, cfg: CrossConfig):
             + jnp.where(cc & rmiss, n_r, 0)).astype(jnp.int64)
         padded = st.padded + 2 * nb * N
         st = st._replace(neval=neval, padded=padded)
-        acol = acol.at[ps, i_newL, :].set(
-            jnp.where(lmiss[:, None], corner_col, acol[ps, i_newL, :]))
-        arow = arow.at[ps[:, None], iN[None, :], q_newR[:, None]].set(
-            jnp.where(rmiss[:, None], corner_row,
-                      arow[ps[:, None], iN[None, :], q_newR[:, None]]))
+        ohl = (iR[None, :] == i_newL[:, None]) & lmiss[:, None]   # (nb, R)
+        acol = jnp.where(ohl[:, :, None], corner_col[:, None, :], acol)
+        ohr = (iR[None, :] == q_newR[:, None]) & rmiss[:, None]
+        arow = jnp.where(ohr[:, None, :], corner_row[:, :, None], arow)
 
         # ---------------- reconstruction phase A: raw fibers + LU slices
-        iA = (ps[:, None, None], iR[None, :, None], iN[None, None, :])
-        cores = st.cores.at[iA[0], iA[1], iA[2], s_arr[:, None, None]].set(
-            wsel(acol, st.cores[iA[0], iA[1], iA[2], s_arr[:, None, None]]))
-        iB = ((ps + 1)[:, None, None], s_arr[:, None, None],
-              iN[None, :, None], iR[None, None, :])
-        cores = cores.at[iB].set(wsel(arow, cores[iB]))
-        itl_prev = itl[jnp.maximum(ps - 1, 0)]                 # (nb, R, R)
+        # slot-column write on cores[p] (p < nb) and slot-row write on
+        # cores[p+1] (p >= 1 region), as dense one-hot selects + static
+        # concat of the untouched boundary core
+        def set_col(arr, body, mask):
+            """arr[p, :, :, s_arr[p]] = body[p] where mask[p], p < nb."""
+            m = (one_hot_s & mask[:, None])[:, None, None, :]
+            return jnp.concatenate(
+                [jnp.where(m, body[:, :, :, None], arr[:nb]), arr[nb:]])
+
+        def set_row(arr, body, mask):
+            """arr[p+1, s_arr[p], :, :] = body[p] where mask[p]."""
+            m = (one_hot_s & mask[:, None])[:, :, None, None]
+            return jnp.concatenate(
+                [arr[:1], jnp.where(m, body[:, None, :, :], arr[1:])])
+
+        cores = set_col(st.cores, acol, upd)
+        cores = set_row(cores, arow, upd)
+        itl_prev = jnp.concatenate([itl[:1], itl[:-1]])        # (nb, R, R)
         slc_l = jnp.einsum("pab,pbn->pan", itl_prev, acol)
         upd_l = upd & (ps > 0)
-        rowf = st.rowf.at[iA[0], iA[1], iA[2], s_arr[:, None, None]].set(
-            wsel(slc_l, st.rowf[iA[0], iA[1], iA[2], s_arr[:, None, None]],
-                 upd_l))
-        itt_next = itt[jnp.minimum(ps + 1, d - 2)]
+        rowf = set_col(st.rowf, slc_l, upd_l)
+        itt_next = jnp.concatenate([itt[1:], itt[-1:]])
         slc_r = jnp.einsum("pnr,prb->pnb", arow, itt_next)
         upd_r = upd & (ps < d - 2)
-        colf = st.colf.at[iB].set(wsel(slc_r, st.colf[iB], upd_r))
+        colf = set_row(st.colf, slc_r, upd_r)
 
         # ---------------- phase B: factor borders from post-A factors
         colf_b2 = colf[:-1]
         approx = jnp.einsum("pinr,pr->pin", colf_b2, u_new)
         new_colf = (acol - approx) / piv_safe[:, None, None]
-        colf = colf.at[iA[0], iA[1], iA[2], s_arr[:, None, None]].set(
-            wsel(new_colf, colf[iA[0], iA[1], iA[2], s_arr[:, None, None]]))
+        colf = set_col(colf, new_colf, upd)
         rowf_b2 = rowf[1:]
         approx2 = jnp.einsum("pr,prnq->pnq", c_new, rowf_b2)
         new_rowf = arow - approx2
-        rowf = rowf.at[iB].set(wsel(new_rowf, rowf[iB]))
+        rowf = set_row(rowf, new_rowf, upd)
 
         st = st._replace(cores=cores, colf=colf, rowf=rowf,
                          pivotmax_prev=pivotmax)
@@ -1400,28 +1411,64 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         solved_c = curr @ _at(st.itt, jnp.minimum(c, d - 2))
         return jnp.where(c < d - 1, solved_c, curr)
 
+    def _pow2_balance_mats(x):
+        """Batched pow2_balance over a (K, R, R) stack: per-matrix exact
+        power-of-2 rescale, returns (x * 2^-e, e) with e (K,)."""
+        from ..ops.dd import _exact_pow2
+
+        m = jnp.max(jnp.abs(x), axis=(1, 2))
+        e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
+        e = jnp.where(jnp.isfinite(e), e, 0.0)
+        return x * _exact_pow2(-e)[:, None, None], e
+
+    def _value_mats(st: CrossState, w) -> jax.Array:
+        """All d LU-solved contraction matrices of value_mat, batched:
+        mats[c] = value_mat(st, w, c), with the c-1 / c clamps rendered as
+        contiguous shifts (no gathers — element-serial on this TPU)."""
+        cidx = jnp.arange(d)
+        curr = jnp.einsum("cinj,cn->cij", st.cores, w)            # (d, R, R)
+        itl_prev = jnp.concatenate([st.itl[:1], st.itl], axis=0)  # (d, R, R)
+        solved_r = jnp.einsum("cab,cbj->caj", itl_prev, curr)
+        curr = jnp.where((cidx > 0)[:, None, None], solved_r, curr)
+        itt_c = jnp.concatenate([st.itt, st.itt[-1:]], axis=0)
+        solved_c = jnp.einsum("cib,cbk->cik", curr, itt_c)
+        return jnp.where((cidx < d - 1)[:, None, None], solved_c, curr)
+
     @jax.jit
     def value_fn(st: CrossState, w) -> jax.Array:
         """Contract the current cross against per-mode weights w (d, N),
         applying the growing-LU inverses (ttqq + dtt_lua + dtt_quad,
         dmrgg.f90:975-1006).
 
-        The running chain is norm-balanced with EXACT power-of-2 rescales
+        The chain is norm-balanced with EXACT power-of-2 rescales
         (exponent tracked separately) — the engine's rendering of the
         reference's geometric-mean core balancing (dtt_ort,
         tt.f90:150-197): at d ~ 256+ the raw partial products span
         1e+/-250, beyond even binary64 near the reference's tt_size=2048,
-        and far beyond the f32-pair f64 emulation's ~1e+/-38."""
-        from ..ops.dd import _exact_pow2, pow2_balance
+        and far beyond the f32-pair f64 emulation's ~1e+/-38.
 
-        def body(c, carry):
-            v, ex = carry
-            v, e = pow2_balance(v @ value_mat(st, w, c))
-            return v, ex + e
+        The product runs as a log2(d)-depth pairwise tree (identity-padded
+        to a power of two, each level one batched matmul + rebalance)
+        instead of a d-step serial fori_loop: at C_256 the serial chain
+        was ~33 ms of device latency per sweep (255 dependent (R, R)
+        matmuls, measured 2026-08-19), the tree is 8 batched levels.
+        Matrix association is exact; only rounding order changes."""
+        from ..ops.dd import _exact_pow2
 
-        v0 = jnp.zeros((1, R), st.cores.dtype).at[0, 0].set(1.0)
-        v, ex = jax.lax.fori_loop(0, d, body, (v0, jnp.zeros((), st.cores.dtype)))
-        return v[0, 0] * _exact_pow2(ex)
+        mats, ex = _pow2_balance_mats(_value_mats(st, w))
+        P = 1 << max(d - 1, 1).bit_length()       # next power of two >= d
+        if P > d:
+            eye = jnp.broadcast_to(jnp.eye(R, dtype=mats.dtype),
+                                   (P - d, R, R))
+            mats = jnp.concatenate([mats, eye], axis=0)
+            ex = jnp.concatenate([ex, jnp.zeros((P - d,), ex.dtype)])
+        while mats.shape[0] > 1:
+            prod = jnp.einsum("kab,kbc->kac", mats[0::2], mats[1::2])
+            prod, e = _pow2_balance_mats(prod)
+            mats, ex = prod, ex[0::2] + ex[1::2] + e
+        # v0 = e_0 row vector: the chain value is entry (0, 0) of the
+        # ordered product M_0 M_1 ... M_{d-1}
+        return mats[0, 0, 0] * _exact_pow2(ex[0])
 
     # ------------------------------------------------------------ fused run
     _run_cache: dict = {}
