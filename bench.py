@@ -548,10 +548,9 @@ def main():
             out["tpu_fallback"] = True
         _emit(out)
 
-    if not headline_only:
-        guarded("ising_c4_dd_tier", config_dd)
-        guarded("stdnorm_d4_qd_engine", config_qd)
-        guarded("ising_d10_rescaled", config_d10)
+    # (the dd/qd/d10 tier runs AFTER the c256/family lines below: its
+    # cold compiles are the slowest in the suite and used to starve the
+    # strongest device lines out of the soft deadline)
 
     # ---- config 4: the north star, greedy (reference CLI C 6 64 24 1)
     prob = make_ising("C", m=6, n=64)
@@ -580,9 +579,7 @@ def main():
             rank_caps=caps, **args))
         line("ising_c6_chunked_capped", res, el, {"rank_caps": caps})
 
-    if (os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false")
-            and not headline_only):
-        guarded("ising_c6_chunked_capped", config_capped)
+    # (guarded call deferred until after c256/family — compile-heavy)
 
     # ---- long-chain line: C_256 (d=255) jacobi — where the device wins
     # outright (255 bond visits/sweep amortize the tunnel floor; the
@@ -650,6 +647,15 @@ def main():
     if (((not fallback) or os.environ.get("TTCROSS_BENCH_BATCH") == "1")
             and not headline_only):
         guarded("mvn_family_batch", config_family)
+
+    if (os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false")
+            and not headline_only):
+        guarded("ising_c6_chunked_capped", config_capped)
+
+    if not headline_only:
+        guarded("ising_c4_dd_tier", config_dd)
+        guarded("stdnorm_d4_qd_engine", config_qd)
+        guarded("ising_d10_rescaled", config_d10)
 
     # ---- HEADLINE (LAST LINE): C_6 crossed at rank 30 on the device,
     # then the oversample cure with the refine-tier accuracy split: the

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np
 from ttcross_tpu.apps.ising import make_ising
 from ttcross_tpu.cross import cross

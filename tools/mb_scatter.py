@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax, jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)

@@ -87,6 +87,7 @@ class EngineKit(NamedTuple):
     make_full_fn: Callable = None
     jacobi_hunt: Callable = None
     jacobi_apply: Callable = None
+    value_mats: Callable = None     # all-d batched value_mat (d, R, R)
 
 
 @dataclass
@@ -1411,16 +1412,6 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         solved_c = curr @ _at(st.itt, jnp.minimum(c, d - 2))
         return jnp.where(c < d - 1, solved_c, curr)
 
-    def _pow2_balance_mats(x):
-        """Batched pow2_balance over a (K, R, R) stack: per-matrix exact
-        power-of-2 rescale, returns (x * 2^-e, e) with e (K,)."""
-        from ..ops.dd import _exact_pow2
-
-        m = jnp.max(jnp.abs(x), axis=(1, 2))
-        e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
-        e = jnp.where(jnp.isfinite(e), e, 0.0)
-        return x * _exact_pow2(-e)[:, None, None], e
-
     def _value_mats(st: CrossState, w) -> jax.Array:
         """All d LU-solved contraction matrices of value_mat, batched:
         mats[c] = value_mat(st, w, c), with the c-1 / c clamps rendered as
@@ -1447,28 +1438,18 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         1e+/-250, beyond even binary64 near the reference's tt_size=2048,
         and far beyond the f32-pair f64 emulation's ~1e+/-38.
 
-        The product runs as a log2(d)-depth pairwise tree (identity-padded
-        to a power of two, each level one batched matmul + rebalance)
-        instead of a d-step serial fori_loop: at C_256 the serial chain
-        was ~33 ms of device latency per sweep (255 dependent (R, R)
-        matmuls, measured 2026-08-19), the tree is 8 batched levels.
-        Matrix association is exact; only rounding order changes."""
+        The product runs as a log2(d)-depth pairwise tree
+        (ops.dense.balanced_matmul_chain) instead of a d-step serial
+        fori_loop: at C_256 the serial chain was ~33 ms of device
+        latency per sweep (255 dependent (R, R) matmuls, measured
+        2026-08-19), the tree is 8 batched levels."""
         from ..ops.dd import _exact_pow2
+        from ..ops.dense import balanced_matmul_chain
 
-        mats, ex = _pow2_balance_mats(_value_mats(st, w))
-        P = 1 << max(d - 1, 1).bit_length()       # next power of two >= d
-        if P > d:
-            eye = jnp.broadcast_to(jnp.eye(R, dtype=mats.dtype),
-                                   (P - d, R, R))
-            mats = jnp.concatenate([mats, eye], axis=0)
-            ex = jnp.concatenate([ex, jnp.zeros((P - d,), ex.dtype)])
-        while mats.shape[0] > 1:
-            prod = jnp.einsum("kab,kbc->kac", mats[0::2], mats[1::2])
-            prod, e = _pow2_balance_mats(prod)
-            mats, ex = prod, ex[0::2] + ex[1::2] + e
+        P, ex = balanced_matmul_chain(_value_mats(st, w))
         # v0 = e_0 row vector: the chain value is entry (0, 0) of the
         # ordered product M_0 M_1 ... M_{d-1}
-        return mats[0, 0, 0] * _exact_pow2(ex[0])
+        return P[0, 0] * _exact_pow2(ex)
 
     # ------------------------------------------------------------ fused run
     _run_cache: dict = {}
@@ -1564,18 +1545,18 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         """Apply the LU inverses to all raw cores in ONE compiled call
         (dtt_lua, dmrgg.f90:1169-1258).  Ranks stay traced so a single
         executable serves every rank pattern (an eager per-core version
-        would recompile per concrete rank value)."""
+        would recompile per concrete rank value).
 
-        def one(c, cores):
-            g = _at(st.cores, c)
-            solved = jnp.einsum("ab,bnj->anj", _at(st.itl, jnp.maximum(c - 1, 0)), g)
-            g = jnp.where(c > 0, solved, g)
-            solved = g @ _at(st.itt, jnp.minimum(c, d - 2))
-            g = jnp.where(c < d - 1, solved, g)
-            return jax.lax.dynamic_update_slice(
-                cores, g[None], (jnp.asarray(c, jnp.int32),) + (jnp.int32(0),) * 3)
-
-        return jax.lax.fori_loop(0, d, one, jnp.zeros_like(st.cores))
+        The per-core solves are independent, so the former d-step
+        fori_loop (255 serial iterations at C_256) is two batched
+        einsums with the boundary clamps as contiguous shifts."""
+        cidx = jnp.arange(d)
+        itl_prev = jnp.concatenate([st.itl[:1], st.itl], axis=0)  # (d, R, R)
+        solved = jnp.einsum("cab,cbnj->canj", itl_prev, st.cores)
+        g = jnp.where((cidx > 0)[:, None, None, None], solved, st.cores)
+        itt_c = jnp.concatenate([st.itt, st.itt[-1:]], axis=0)
+        solved = jnp.einsum("canb,cbj->canj", g, itt_c)
+        return jnp.where((cidx < d - 1)[:, None, None, None], solved, g)
 
     return EngineKit(
         cfg=cfg, init_fn=init_fn, sweep_fn=sweep_fn, value_fn=value_fn,
@@ -1584,6 +1565,7 @@ def make_engine(fun: Callable, cfg: CrossConfig):
         init_neval=cfg.snum * int(min(cfg.n)) + int(sum(cfg.n)),
         finalize_fn=finalize_fn, make_full_fn=make_full_fn,
         jacobi_hunt=jacobi_hunt, jacobi_apply=jacobi_apply,
+        value_mats=_value_mats,
     )
 
 

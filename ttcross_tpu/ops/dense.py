@@ -310,3 +310,44 @@ def transpose3d(p: int, a):
     """The six 3-D permutations keyed like the reference's prm3 table
     (d3_trans + prm3, trans.f90:72-240)."""
     return jnp.transpose(jnp.asarray(a), _PRM3[p])
+
+
+def pow2_balance_mats(x):
+    """Batched pow2_balance over a (K, R, R) stack: per-matrix EXACT
+    power-of-2 rescale.  Returns (x * 2^-e, e) with e (K,) and
+    max|x * 2^-e| per matrix near 1 (zero / non-finite matrices pass
+    through with e = 0)."""
+    from .dd import _exact_pow2
+
+    m = jnp.max(jnp.abs(x), axis=(-2, -1))
+    e = jnp.floor(jnp.log2(jnp.where((m > 0) & jnp.isfinite(m), m, 1.0)))
+    e = jnp.where(jnp.isfinite(e), e, 0.0)
+    return x * _exact_pow2(-e)[..., None, None], e
+
+
+def balanced_matmul_chain(mats):
+    """Ordered product of a (K, R, R) matrix stack as a log2(K)-depth
+    pairwise tree — identity-padded to a power of two, one batched
+    matmul + exact power-of-2 rebalance per level — instead of a K-step
+    serial chain.  Returns (P, e) with  mats[0] @ ... @ mats[K-1] =
+    P * 2^e  and max|P| ~ 1: long chains (d ~ 256+) overflow the raw
+    partial products (see engine.value_fn), so the exponent rides
+    separately.  Matrix association is exact; only rounding order
+    changes (pairwise is O(log K) rounding growth vs O(K) serial).
+
+    Serial chains of dependent small matmuls are latency-bound on TPU
+    (~33 ms at K=255, measured 2026-08-19); the tree is log2(K) batched
+    kernels."""
+    K, R = mats.shape[0], mats.shape[-1]
+    mats, ex = pow2_balance_mats(mats)
+    P = 1 << max(K - 1, 1).bit_length()        # next power of two >= K
+    if P > K:
+        pad_eye = jnp.broadcast_to(jnp.eye(R, dtype=mats.dtype),
+                                   (P - K, R, R))
+        mats = jnp.concatenate([mats, pad_eye], axis=0)
+        ex = jnp.concatenate([ex, jnp.zeros((P - K,), ex.dtype)])
+    while mats.shape[0] > 1:
+        prod = jnp.einsum("kab,kbc->kac", mats[0::2], mats[1::2])
+        prod, e = pow2_balance_mats(prod)
+        mats, ex = prod, ex[0::2] + ex[1::2] + e
+    return mats[0], ex[0]

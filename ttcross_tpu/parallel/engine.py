@@ -381,11 +381,10 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         the full ordered product.  O(log ndev) (R, R) messages instead of an
         all_gather of ndev R^2 blocks + an O(ndev)-depth replicated chain."""
         from ..ops.dd import _exact_pow2, pow2_balance
+        from ..ops.dense import balanced_matmul_chain
 
         me = jax.lax.axis_index(BOND_AXIS)
         cnt = own_hi - own_lo + jnp.where(me == ndev - 1, 1, 0)
-        part = jnp.eye(R, dtype=st.amax.dtype)
-        ex0 = jnp.zeros((), st.amax.dtype)
 
         def balance(part, ex):
             # exact power-of-2 norm balancing (see engine.value_fn): long
@@ -393,15 +392,21 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
             part, e = pow2_balance(part)
             return part, ex + e
 
-        def body(idx, carry):
-            part, ex = carry
-            c = (own_lo + idx).astype(jnp.int32)
-            m = kit.value_mat(st, w, c)
-            part2, ex2 = balance(part @ m, ex)
-            live = idx < cnt
-            return jnp.where(live, part2, part), jnp.where(live, ex2, ex)
-
-        part, ex = jax.lax.fori_loop(0, max_cores, body, (part, ex0))
+        # slab-local ordered product: all d LU-solved mode matrices in one
+        # batched build (the state is replicated, so this is one einsum),
+        # the slab window sliced out (identity-padded so the slice never
+        # clamps) and dead rows masked to identity, then a log-depth
+        # pairwise tree instead of a max_cores-step serial fori_loop
+        mats = kit.value_mats(st, w)                          # (d, R, R)
+        pad_eye = jnp.broadcast_to(jnp.eye(R, dtype=mats.dtype),
+                                   (max_cores, R, R))
+        sl = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([mats, pad_eye], axis=0),
+            own_lo.astype(jnp.int32), max_cores, axis=0)
+        live = jnp.arange(max_cores) < cnt
+        sl = jnp.where(live[:, None, None], sl,
+                       jnp.eye(R, dtype=sl.dtype))
+        part, ex = balanced_matmul_chain(sl)
 
         stride = 1
         while stride < ndev:
