@@ -39,3 +39,23 @@ def test_selected_pivot_is_true_max(rng):
     resid = np.abs(vals - colf @ rowf)
     resid[:, 30:] = -1
     assert int(idx) == int(np.argmax(resid.reshape(-1)))
+
+
+def test_small_table_lookup_limbs_interpret(rng):
+    """The Pallas lookup kernel (interpret mode on CPU) reproduces the
+    gather and the exact 3-limb recombination bit-for-bit."""
+    import jax.numpy as jnp
+
+    from ttcross_tpu.ops.dense import _f32_split3, _pow2_rescale
+    from ttcross_tpu.ops.pallas_kernels import small_table_lookup_limbs
+
+    n, B, d = 7, 13, 5
+    table = jnp.asarray(rng.standard_normal(n) * 1e3)
+    ind = rng.integers(0, n, size=(B, d)).astype(np.int32)
+    s, sinv = _pow2_rescale(table)
+    a, b, c = small_table_lookup_limbs(
+        _f32_split3(table * s), jnp.asarray(ind), interpret=True)
+    got = (a.astype(jnp.float64) + b.astype(jnp.float64)
+           + c.astype(jnp.float64)) * sinv
+    want = np.asarray(table)[ind]
+    assert np.array_equal(np.asarray(got), want)

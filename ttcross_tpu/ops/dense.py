@@ -11,6 +11,7 @@ lax control flow so they stay jittable.
 from __future__ import annotations
 
 import contextlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -124,9 +125,28 @@ def table_lookup(table, ind):
         # C_32 sweep on the 1-core fallback host); mode="fill" reproduces
         # the one-hot's out-of-range -> 0 contract exactly
         return jnp.take(table, ind, axis=0, mode="fill", fill_value=0)
-    oh = onehot_rows(ind, table.shape[0])
+    ind = jnp.asarray(ind)
     s, sinv = _pow2_rescale(table)
-    return _onehot_select(_f32_split3(table * s), oh, 0) * sinv
+    parts = _f32_split3(table * s)
+    # big 2-D batches (long-chain integrands): a Pallas compare-select
+    # kernel does the per-limb selection entirely in VMEM — the one-hot
+    # tensor below costs ind.size * n f32 of HBM traffic (3.15 GiB per
+    # C_256-wide integrand call; measured 2x device win at n=33,
+    # tools/mb_lookup.py).  OPT-IN (TTCROSS_PALLAS_LOOKUP=1): embedding
+    # the Mosaic kernel inside the fused while_loop run program pushed
+    # the axon remote AOT compile past 25 min (standalone it compiles in
+    # seconds) — on this deployment the compile cost buries the ~1.6
+    # ms/call win, so the default stays on the XLA one-hot path
+    if (ind.ndim == 2 and ind.size * table.shape[0] >= (1 << 24)
+            and os.environ.get("TTCROSS_PALLAS_LOOKUP", "0")
+            in ("1", "true")):
+        from .pallas_kernels import small_table_lookup_limbs
+
+        a, b, c = small_table_lookup_limbs(parts, ind)
+        return ((a.astype(jnp.float64) + b.astype(jnp.float64)
+                 + c.astype(jnp.float64)) * sinv)
+    oh = onehot_rows(ind, table.shape[0])
+    return _onehot_select(parts, oh, 0) * sinv
 
 
 def row_lookup(mat, lin, axis: int = 0):

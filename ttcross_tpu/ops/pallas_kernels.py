@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["score_residual_argmax", "score_residual_argmax_ref"]
+__all__ = ["score_residual_argmax", "score_residual_argmax_ref",
+           "small_table_lookup_limbs"]
 
 _TK = 256  # column tile (lanes)
 
@@ -117,3 +118,80 @@ def score_residual_argmax(vals, colf, rowf, mask, use_pallas: bool = True):
     col = g * _TK + lj
     flat = li * K + col
     return flat.astype(jnp.int32), per_tile_val[g]
+
+
+# ---------------------------------------------------------------- lookups
+_TB = 512    # batch-rows tile (sublanes)
+
+
+def _lookup_kernel(tab_ref, ind_ref, a_out, b_out, c_out):
+    """Small-table lookup tile: out_l[b, j] = tab[l, ind[b, j]] by a
+    compare-select loop over the table entries — each limb selection is
+    EXACT (0/1 select of an f32 value), and the (B, d, n) one-hot tensor
+    the XLA MXU path materializes in HBM (3.4 GB per C_256-wide integrand
+    call) never exists: the whole tile stays in VMEM/registers."""
+    idx = ind_ref[:, :]
+    n = tab_ref.shape[1]
+    tab = tab_ref[:, :]                        # (3, n) VMEM tile
+    z = jnp.zeros(idx.shape, jnp.float32)
+    # statically unrolled over the (small) table: a traced fori_loop
+    # counter is promoted to i64 under the x64 rewrite, which Mosaic's
+    # comparison lowering rejects (RecursionError observed on axon)
+    a, b, c = z, z, z
+    for k in range(n):
+        m = idx == jnp.int32(k)
+        a = jnp.where(m, tab[0, k], a)
+        b = jnp.where(m, tab[1, k], b)
+        c = jnp.where(m, tab[2, k], c)
+    a_out[:, :] = a
+    b_out[:, :] = b
+    c_out[:, :] = c
+
+
+def small_table_lookup_limbs(parts, ind, interpret: bool = False):
+    """Pallas path of ops.dense.table_lookup: parts = three (n,) f32 limb
+    tables (the exact _f32_split3 of the pow2-rescaled f64 table), ind
+    (B, d) int32.  Returns the three (B, d) f32 per-limb selections; the
+    caller recombines them in f64 (exact: non-overlapping mantissa limbs)
+    exactly like _onehot_select.  Out-of-range indices select 0 in every
+    limb (same contract as the one-hot / mode="fill" paths).
+
+    Measured on the live v5e (2026-08-19, tools/mb_lookup.py): bitwise
+    equal to the one-hot MXU path; at (100584, 255) x n=33 the one-hot
+    path materializes a 3.15 GiB tensor (~3.3 ms device, bandwidth) vs
+    ~1.7 ms here — the win scales with n (reference-default n=65 ~2x
+    again).  interpret=True runs the Pallas interpreter (CPU tests)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ind = jnp.asarray(ind)
+    B, d = ind.shape
+    n = int(parts[0].shape[0])
+    Bp = -(-B // _TB) * _TB
+    Dp = -(-d // 128) * 128
+    # pad with n: matches no table entry -> limb 0 (and keeps the pad
+    # lanes harmless)
+    indp = jnp.pad(ind.astype(jnp.int32), ((0, Bp - B), (0, Dp - d)),
+                   constant_values=n)
+    tab = jnp.stack([p.astype(jnp.float32) for p in parts])     # (3, n)
+
+    # index maps derive every component from i so all stay i32 under x64
+    # (a literal 0 becomes an i64 constant, which Mosaic rejects)
+    grid_spec = pl.GridSpec(
+        grid=(Bp // _TB,),
+        in_specs=[
+            pl.BlockSpec((3, n), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, Dp), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((_TB, Dp), lambda i: (i, i * 0),
+                                memory_space=pltpu.VMEM)] * 3,
+    )
+    a, b, c = pl.pallas_call(
+        _lookup_kernel,
+        out_shape=[jax.ShapeDtypeStruct((Bp, Dp), jnp.float32)] * 3,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tab, indp)
+    return a[:B, :d], b[:B, :d], c[:B, :d]
