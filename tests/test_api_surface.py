@@ -78,18 +78,36 @@ SURFACE = {
 }
 
 
+# Documented symbols whose implementation needs an optional extra
+# (pyproject [project.optional-dependencies]); skipped, not failed, when the
+# extra is absent so the surface test still reports real gaps on the base
+# jax+numpy dependency set.
+OPTIONAL_DEP = {
+    "cross_mp": "mpmath", "cross_mp_parallel": "mpmath",
+    "save_hdf5": "h5py", "load_hdf5": "h5py",
+}
+
+
+def _has(dep):
+    return importlib.util.find_spec(dep) is not None
+
+
 @pytest.mark.parametrize("module", sorted(SURFACE))
 def test_documented_surface_resolves(module):
     mod = importlib.import_module(module)
-    missing = [name for name in SURFACE[module] if not hasattr(mod, name)]
+    missing = [name for name in SURFACE[module]
+               if not hasattr(mod, name)
+               and (name not in OPTIONAL_DEP or _has(OPTIONAL_DEP[name]))]
     assert not missing, f"{module} lacks documented names: {missing}"
 
 
 def test_all_exports_resolve():
-    """Every name in each package __all__ actually exists."""
-    for module in ("ttcross_tpu", "ttcross_tpu.cross", "ttcross_tpu.parallel",
-                   "ttcross_tpu.tt", "ttcross_tpu.ops", "ttcross_tpu.apps",
-                   "ttcross_tpu.utils"):
+    """Every name in each package __all__ actually exists (or is a documented
+    lazily-resolved optional-dependency symbol in an absent environment)."""
+    modules = {"ttcross_tpu", "ttcross_tpu.native"} | set(SURFACE)
+    for module in sorted(modules):
         mod = importlib.import_module(module)
         for name in getattr(mod, "__all__", []):
+            if name in OPTIONAL_DEP and not _has(OPTIONAL_DEP[name]):
+                continue
             assert hasattr(mod, name), f"{module}.__all__ lists missing {name!r}"

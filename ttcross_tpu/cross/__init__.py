@@ -3,7 +3,6 @@ from .batch import BatchCrossResult, cross_batch
 from .defect import cross_defect_corrected, cross_defect_corrected_qd
 from .engine import CrossResult, cross, make_engine
 from .engine_dd import cross_dd
-from .engine_mp import cross_mp
 from .engine_qd import cross_qd
 from .maxvol import cross_maxvol, maxvol_refine
 from .refine import refine_dd
@@ -17,3 +16,19 @@ __all__ = ["CrossResult", "cross", "make_engine", "CrossState", "empty_state",
            "skeleton_tt_fn", "reevaluate_host", "accchk",
            "cross_dd", "cross_qd", "cross_mp",
            "cross_defect_corrected", "cross_defect_corrected_qd", "refine_dd"]
+
+_LAZY = {"cross_mp": "engine_mp"}  # 120-digit tier: needs optional mpmath
+
+
+def __getattr__(name):
+    # The mp tier (cross/engine_mp.py) imports mpmath at module scope;
+    # mpmath is an optional extra (pyproject [project.optional-dependencies]),
+    # so re-export it lazily to keep `import ttcross_tpu.cross` working on
+    # the base jax+numpy install.
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(f".{_LAZY[name]}", __name__)
+        val = getattr(mod, name)
+        globals()[name] = val
+        return val
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -35,6 +35,8 @@ from typing import Callable, Sequence
 import numpy as np
 from mpmath import mp, mpf
 
+from .hostwalk import walk_index as _walk_index  # noqa: F401  (back-compat re-export)
+
 from ..ops.mp import mag10, mp_zeros, workdps
 
 __all__ = ["cross_mp", "MpCrossResult", "mp_tt_value", "MpEngine"]
@@ -50,21 +52,6 @@ class MpCrossResult:
     history: list            # per-sweep dicts {it, dir, pivotmax_log10, value, err}
 
 
-def _walk_index(vip, b, d, i, j, k, q):
-    """Full multi-index for candidate (i, j, k, q) at bond b by walking the
-    pivot chains (dmrgg_fun / mp_dmrgg_fun, dmrggmp.f90:706-718)."""
-    ind = [0] * d
-    t = i
-    for s in range(b - 1, -1, -1):
-        ind[s] = vip[s][t][1]
-        t = vip[s][t][0]
-    ind[b] = j
-    ind[b + 1] = k
-    t = q
-    for s in range(b + 1, d - 1):
-        ind[s + 1] = vip[s][t][2]
-        t = vip[s][t][3]
-    return ind
 
 
 def _value_chain(G, itl, itt, w, d):

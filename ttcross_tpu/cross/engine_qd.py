@@ -44,7 +44,7 @@ import numpy as np
 from ..ops.qd import (QD, qd, qd_concat, qd_div, qd_get, qd_mag10,
                       qd_matmul, qd_mul, qd_neg, qd_sub, qd_sum, qd_to_mp,
                       qd_tt_value, qd_vdot_axis, qd_zeros)
-from .engine_mp import _walk_index
+from .hostwalk import walk_index as _walk_index
 
 __all__ = ["cross_qd", "QdCrossResult", "QdEngine", "QD_DPS"]
 

@@ -22,7 +22,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 
-from ..cross.engine_mp import _walk_index
+from ..cross.hostwalk import walk_index as _walk_index
 from ..cross.engine_qd import (QD_DPS, QdCrossResult, QdEngine, _expand,
                                _np_qd)
 from ..ops.qd import (QD, qd_concat, qd_get, qd_matmul, qd_to_mp,
