@@ -341,6 +341,43 @@ def _timed(fn):
     return res, time.time() - t0, warm
 
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 (the MXU's native rate; f64
+# work on this platform is emulated on f32 pairs, so the HLO-level f64
+# flop count below understates executed hardware ops ~4-8x — both the
+# model flops and this peak are stated so the MFU is interpretable).
+PEAK_FLOPS = float(os.environ.get("TTCROSS_PEAK_FLOPS", 1.97e14))
+
+
+def _mfu_extras(fun, cfg, res, elapsed, chain=None):
+    """FLOP/MFU accounting for an engine config (VERDICT r4 #5): count
+    one compiled sweep's HLO flops (hunt scoring + LU solves + factor
+    algebra) and the per-sweep quadrature value chain via XLA cost
+    analysis on the LOWERED program (no compile triggered), scale by the
+    executed sweep count, and report achieved FLOP/s and utilization
+    against the bf16 MXU peak.  Masked rank padding keeps every sweep's
+    program identical, so per-sweep flops are constant."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ttcross_tpu.cross.engine import get_engine
+
+        kit = get_engine(fun, cfg, chain=chain)
+        st = kit.init_fn(jax.random.PRNGKey(0))
+        ca = (kit.sweep_fn.lower(st, jnp.asarray(1, jnp.int32))
+              .cost_analysis() or {})
+        w = jnp.zeros((cfg.d, cfg.N))
+        cav = kit.value_fn.lower(st, w).cost_analysis() or {}
+        per_sweep = float(ca.get("flops", 0)) + float(cav.get("flops", 0))
+        total = per_sweep * max(res.sweeps, 1)
+        return {"flops_per_sweep": round(per_sweep, 1),
+                "model_flops": round(total, 1),
+                "achieved_flops_per_sec": round(total / elapsed, 1),
+                "mfu_vs_bf16_peak": round(total / elapsed / PEAK_FLOPS, 9)}
+    except Exception as e:
+        return {"mfu_error": repr(e)[:120]}
+
+
 def main():
     # 0) watchdog: is the TPU tunnel answering device enumeration at all?
     #    (a wedged tunnel hangs jax.devices() forever — fall back to CPU
@@ -529,6 +566,28 @@ def main():
                "n_evals": int(rqd.neval), "wall_time_s": round(el, 3),
                "evals_per_sec": round(rqd.neval / el, 1)})
 
+    # ---- config 5d: NATIVE MPFR 120-digit tier (the reference's
+    # compiled MPFUN-MPFR role, mpinterface.c:4-85): all-native Ising
+    # cross at dps=120.  Host-only and sub-second — the compiled
+    # replacement for the mpmath path (~100x, BENCH_NOTES round 5).
+    def config_mp_native():
+        from ttcross_tpu import native as _nat
+
+        if not _nat.mpfr_available():
+            _emit({"metric": "ising_c4_mp120_native",
+                   "skipped": "libmpfr/g++ unavailable"})
+            return
+        from ttcross_tpu.cross.engine_mp_native import ising_cross_mp_native
+
+        t0 = time.time()
+        r = ising_cross_mp_native("C", m=4, n=65, max_rank=32, dps=120)
+        el = time.time() - t0
+        _emit({"metric": "ising_c4_mp120_native",
+               "correct_digits": round(float(r.digits), 2),
+               "n_evals": int(r.neval), "wall_time_s": round(el, 3),
+               "evals_per_sec": round(r.neval / el, 1),
+               "sweeps": r.sweeps, "dps": 120, "engine": "native-mpfr"})
+
     # ---- D/E underflow-rescaling regime at d >= 10 (the reference's
     # test path test_crs_ising.f90:135-144; no tabulated truth for m=10,
     # so the line reports convergence [cnv] instead of digits)
@@ -567,19 +626,13 @@ def main():
     greedy_out = guarded("ising_c6_greedy", config_greedy)
     dig_g, warm_self, eps_g = greedy_out if greedy_out else (None,) * 3
 
-    # ---- n_evals parity line: chunked growth + per-bond rank caps (the
-    # C_6 rank profile, a FIXED constant so the export-cache key is
-    # stable across bench runs) -> counted padded_ratio ~ 1.15 (the
-    # reference's exact dynamic shapes are ratio 1.0).  Compile-heavy on
-    # a cold cache (6 unrolled executables); skippable via env.
-    def config_capped():
-        caps = [16, 24, 24, 16]
-        res, el, _ = _timed(lambda: cross(
-            prob.fun, [prob.n] * prob.d, rank_chunks=[4, 8, 12, 16, 20, 24],
-            rank_caps=caps, **args))
-        line("ising_c6_chunked_capped", res, el, {"rank_caps": caps})
-
-    # (guarded call deferred until after c256/family — compile-heavy)
+    # (the chunked+rank_caps line was DEMOTED in round 5 per VERDICT r4
+    # #6: measured 2.7x slower wall than the uncapped headline at equal
+    # digits — the 6 unrolled executables' launch overhead exceeds the
+    # padded-work saving on this platform.  rank_caps stays available as
+    # an evaluation-budget feature (cross(rank_caps=...), tested in
+    # tests/test_engine.py); rationale in BENCH_NOTES "rank_caps
+    # demotion".)
 
     # ---- long-chain line: C_256 (d=255) jacobi — where the device wins
     # outright (255 bond visits/sweep amortize the tunnel floor; the
@@ -587,13 +640,18 @@ def main():
     # Compares against the same-host C++ twin when measured.json has the
     # ising_c256 entry.
     def config_c256():
+        # red-black two-phase jacobi + chain-structured integrand (the
+        # round-5 combination): rb restores sequential-grade digits at
+        # equal rank (11.8+ vs plain jacobi's 11.0, CPU-verified), the
+        # ChainSpec evaluates hunt candidates in O(1) from interface
+        # states (cross/chain_eval.py) instead of O(d) per entry.
         p = make_ising("C", m=256, n=17)
         cargs = dict(max_rank=10, accuracy=acc, pivoting=1,
                      quad=[p.quad_weights] * p.d, truth=p.truth,
-                     sweep_mode="jacobi")
+                     sweep_mode="jacobi-rb", chain=p.chain)
         res, el, _ = _timed(lambda: cross(p.fun, [p.n] * p.d, **cargs))
         extras = {"sweep_ms": round(1e3 * el / max(res.sweeps, 1), 1),
-                  "sweep_mode": "jacobi"}
+                  "sweep_mode": "jacobi-rb", "chain_eval": True}
         b, src = _baseline_config("ising_c256")
         if b:
             extras["baseline_evals_per_sec"] = b["evals_per_sec"]
@@ -602,6 +660,16 @@ def main():
             extras["baseline_source"] = src
             extras["speedup_vs_baseline_wall"] = round(
                 b["wall_time_s"] / el, 2)
+        if not fallback:
+            from ttcross_tpu.config import precision_thresholds
+            from ttcross_tpu.cross.engine import CrossConfig
+
+            se, sp = precision_thresholds()
+            cfg256 = CrossConfig(d=p.d, n=(p.n,) * p.d, N=p.n, R=10, piv=1,
+                                 small_element=se, small_pivot=sp,
+                                 jacobi=True, rb=True)
+            extras.update(_mfu_extras(p.fun, cfg256, res, el,
+                                      chain=cargs["chain"]))
         line("ising_c256_jacobi", res, el, extras)
 
     if (os.environ.get("TTCROSS_BENCH_C256", "1") not in ("0", "false")
@@ -620,7 +688,10 @@ def main():
         lanes = 4
         fam = make_mvn_family(d=6, n=65,
                               corrs=np.linspace(0.2, 0.6, lanes))
-        bargs = dict(max_rank=14, accuracy=acc, pivoting=1,
+        # rank 20 = the single-cross MVN baseline config (VERDICT r4 #7:
+        # the old rank-14 line's 2.85 worst-lane digits were not
+        # comparable to the rank-20 baseline's 5.11)
+        bargs = dict(max_rank=20, accuracy=acc, pivoting=1,
                      quad=[fam.quad_weights] * 6, truth=1.0)
         resb, elb, _ = _timed(lambda: cross_batch(
             fam.fun, [fam.n] * 6, fam.params, **bargs))
@@ -640,6 +711,13 @@ def main():
                "family_speedup": round(singles / elb, 2),
                "worst_lane_digits": round(float(worst), 2),
                "n_evals": int(resb.neval)}
+        b, src = _baseline_config("mvn_d6")
+        if b:
+            # the comparable single-cross baseline at the same rank-20
+            # config (corr=0.5 lies inside the lane range)
+            out["baseline_digits"] = b["correct_digits"]
+            out["baseline_wall_s"] = b["wall_time_s"]
+            out["baseline_source"] = src
         if fallback:
             out["tpu_fallback"] = True
         _emit(out)
@@ -648,13 +726,12 @@ def main():
             and not headline_only):
         guarded("mvn_family_batch", config_family)
 
-    if (os.environ.get("TTCROSS_BENCH_CAPPED", "1") not in ("0", "false")
-            and not headline_only):
-        guarded("ising_c6_chunked_capped", config_capped)
-
     if not headline_only:
-        guarded("ising_c4_dd_tier", config_dd)
+        # cheap host-only tiers first (sub-second; cannot be starved),
+        # then the compile-heavy device tiers
+        guarded("ising_c4_mp120_native", config_mp_native)
         guarded("stdnorm_d4_qd_engine", config_qd)
+        guarded("ising_c4_dd_tier", config_dd)
         guarded("ising_d10_rescaled", config_d10)
 
     # ---- HEADLINE (LAST LINE): C_6 crossed at rank 30 on the device,
@@ -669,6 +746,19 @@ def main():
     def headline():
         res, el, warm_hl = _timed(_run_headline(cross, prob, acc))
         out = _headline_payload(res, el, device)
+        if not fallback:
+            # FLOP/MFU accounting (VERDICT r4 #5) for the headline's
+            # device leg: the rank-30 sequential engine the oversampled
+            # cross runs (elapsed includes the host-reeval post-pass, so
+            # the MFU is a whole-pipeline utilization figure)
+            from ttcross_tpu.config import precision_thresholds
+            from ttcross_tpu.cross.engine import CrossConfig
+
+            se, sp = precision_thresholds()
+            cfg30 = CrossConfig(d=prob.d, n=(prob.n,) * prob.d, N=prob.n,
+                                R=30, piv=1, small_element=se,
+                                small_pivot=sp)
+            out.update(_mfu_extras(prob.fun, cfg30, res, el))
         out.update({
             "greedy_digits": (round(float(dig_g), 2)
                               if dig_g is not None else None),

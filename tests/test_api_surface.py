@@ -19,6 +19,7 @@ SURFACE = {
         "extract_skeleton", "skeleton_value_fn", "skeleton_tt_fn",
         "cross_maxvol", "maxvol_refine", "accchk", "make_engine",
         "cross_dd", "cross_qd", "cross_mp",
+        "cross_mp_native", "ising_cross_mp_native",
         "cross_defect_corrected", "cross_defect_corrected_qd", "refine_dd",
     ],
     "ttcross_tpu.parallel": [
@@ -69,11 +70,12 @@ SURFACE = {
         "say", "saynnz", "say_tt",
         "Timer", "SweepRecord", "write_jsonl", "profile_trace",
         "has_nan", "assert_finite", "tt_check",
-        "lin_to_multi", "multi_to_lin",
+        "lin_to_multi", "multi_to_lin", "heartbeat",
     ],
     "ttcross_tpu.native": [
         "available", "gauss_legendre_dd", "contract_q",
         "tt_write_native", "tt_read_native", "gaussian_chf_native",
+        "mpfr_available",
     ],
 }
 

@@ -21,6 +21,7 @@ while the rank-1 quad tensor carries only the underflow-rescaling factors
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -87,6 +88,54 @@ def ising_integrand(ind, nodes, weights, kind: str):
         wv = 1.0 + jnp.sum(pre, axis=1)
         f = f / (v * wv)
     return f * jnp.prod(w, axis=1)
+
+
+def ising_c_chain(nodes, weights):
+    """ChainSpec (cross/chain_eval.py) for the C-kind integrand: the
+    value 2/(v·w)·∏W (test_crs_ising.f90:176-218, b-term only) factors
+    through the 4-component monoid
+
+        (P, A, Q, W):  P = ∏ x_i          (block node product)
+                       A = Σ_k ∏_{i≤k} x_i  (prefix-product sums)
+                       Q = Σ_k ∏_{i≥k} x_i  (suffix-product sums)
+                       W = ∏ W_i          (block weight product)
+
+    with merge (L, R) -> (P_L P_R, A_L + P_L A_R, Q_R + P_R Q_L,
+    W_L W_R) and finalize 2W/((1+A)(1+Q)).  The engine's hunt then
+    evaluates candidates in O(1) from cached interface states instead
+    of O(d) — see cross/chain_eval.py.  Partial products stay in range:
+    nodes ∈ [0,1] and max-normalized weights ≤ 1, so every partial is
+    bounded by 1 in magnitude and at least the full product (which the
+    rescaling already keeps representable).
+
+    The D/E a-term ∏_{i<j}((P_j-P_i)/(P_j+P_i))² needs all prefix
+    values — not O(1)-state expressible — so only kind C gets a spec."""
+    from ..cross.chain_eval import ChainSpec
+    from ..ops.dense import table_lookup
+
+    nodes = jnp.asarray(nodes)
+    weights = jnp.asarray(weights)
+
+    def identity():
+        return dict(P=1.0, A=0.0, Q=0.0, W=1.0)
+
+    def lift(dims, idx):
+        del dims  # mode tables are uniform for the Ising grid
+        idx = jnp.asarray(idx)
+        x = table_lookup(nodes, idx)
+        w = table_lookup(weights, idx)
+        return dict(P=x, A=x, Q=x, W=w)
+
+    def merge(a, b):
+        return dict(P=a["P"] * b["P"],
+                    A=a["A"] + a["P"] * b["A"],
+                    Q=b["Q"] + b["P"] * a["Q"],
+                    W=a["W"] * b["W"])
+
+    def finalize(s):
+        return 2.0 * s["W"] / ((1.0 + s["A"]) * (1.0 + s["Q"]))
+
+    return ChainSpec(identity, lift, merge, finalize)
 
 
 def ising_integrand_np(ind, nodes, weights, kind: str) -> np.ndarray:
@@ -364,6 +413,16 @@ class IsingProblem:
         """Host-numpy twin (accurate f64 on platforms with emulated
         device f64; see ising_integrand_np)."""
         return ising_integrand_np(ind, self.nodes, self.weights, self.kind)
+
+    @functools.cached_property
+    def chain(self):
+        """ChainSpec for O(1) hunt-candidate evaluation (C-kind only;
+        pass as cross(..., chain=prob.chain)).  Cached so repeated
+        accesses return the SAME spec object — the engine cache keys on
+        its identity (a fresh spec per access would recompile)."""
+        if self.kind.upper() != "C":
+            return None
+        return ising_c_chain(self.nodes, self.weights)
 
 
 def make_ising(kind: str = "C", m: int = 6, n: int = 65) -> IsingProblem:

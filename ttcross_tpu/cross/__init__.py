@@ -3,6 +3,7 @@ from .batch import BatchCrossResult, cross_batch
 from .defect import cross_defect_corrected, cross_defect_corrected_qd
 from .engine import CrossResult, cross, make_engine
 from .engine_dd import cross_dd
+from .engine_mp_native import cross_mp_native, ising_cross_mp_native
 from .engine_qd import cross_qd
 from .maxvol import cross_maxvol, maxvol_refine
 from .refine import refine_dd
@@ -15,6 +16,7 @@ __all__ = ["CrossResult", "cross", "make_engine", "CrossState", "empty_state",
            "Skeleton", "extract_skeleton", "skeleton_value_fn",
            "skeleton_tt_fn", "reevaluate_host", "accchk",
            "cross_dd", "cross_qd", "cross_mp",
+           "cross_mp_native", "ising_cross_mp_native",
            "cross_defect_corrected", "cross_defect_corrected_qd", "refine_dd"]
 
 _LAZY = {"cross_mp": "engine_mp"}  # 120-digit tier: needs optional mpmath

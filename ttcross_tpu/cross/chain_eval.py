@@ -1,0 +1,217 @@
+"""Chain-structured integrand evaluation (interface states).
+
+The reference evaluates every sampled entry by reconstructing its full
+d-dimensional multi-index and calling the scalar integrand — O(d) work
+per entry inside OpenMP loops (dmrgg_fun, dmrgg.f90:1053-1078, called
+from the hunt loops at dmrgg.f90:455-463, 515-582).  Many integrands of
+interest, however, are *chain-structured*: the value factors through a
+small per-prefix state that composes ASSOCIATIVELY along the dimension
+axis — e.g. the Ising C_m integrand 2/(v·w)·∏W (test_crs_ising.f90:
+176-218) is a 4-component product/prefix-sum monoid, the product
+Gaussian is a 1-component product monoid, and the equicorrelated MVN
+pdf a 3-component (Σx, Σx², ∏W) monoid.
+
+For such integrands the cross engine's hunt candidates at bond b share
+their left chain (one of R pivot prefixes) and right chain (one of R
+suffixes), so a sweep's candidate evaluations collapse to
+
+    1. lift every chain-table entry to a monoid element      O(d·R) per side
+    2. log₂(d)-depth masked pairwise merges -> interface
+       states  Ls[b, i], Rs[b, q]                            O(d·R·log d)
+    3. per candidate: 3 merges + a finalize                  O(1)  (!)
+
+instead of O(d) table lookups + scan per candidate.  This is the TT
+analogue of cached interface tensors, rendered TPU-native: steps 1-2
+are dense VPU work, step 3 is broadcastable elementwise math over the
+candidate batch.  At C_256 (d = 255) it removes ~99% of the hunt's
+integrand FLOPs; the evaluated VALUES agree with the full integrand to
+rounding-order (the merge tree is a different association of the same
+products/sums).
+
+Protocol
+--------
+A ChainSpec supplies four callables; all must be jax-traceable,
+batched, and broadcast over leading axes:
+
+  identity()       -> state pytree of scalars (the monoid unit)
+  lift(dims, idx)  -> state with leaves shaped like dims/idx (int32
+                      arrays, broadcast together); dims are mode ids so
+                      heterogeneous mode tables are supported
+  merge(a, b)      -> state (ASSOCIATIVE; a is the left block)
+  finalize(state)  -> values (same leading shape)
+
+`fun(ind) == finalize(reduce(merge, [lift(s, ind[:, s]) for s]))` must
+hold (up to association order); `chain_fun` builds exactly that full
+evaluator so one spec can serve as both the integrand and the fast
+path — tests assert the equivalence.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ChainSpec", "chain_fun", "reduce_merge", "interface_states",
+           "ChainEvaluator"]
+
+
+class ChainSpec(NamedTuple):
+    identity: Callable
+    lift: Callable
+    merge: Callable
+    finalize: Callable
+
+
+def _tree_where(mask, a, b):
+    """tree_map where with a broadcast mask (mask has no trailing axes)."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(mask, x, y), a, b)
+
+
+def reduce_merge(spec: ChainSpec, states, length: int):
+    """Order-preserving log₂-depth reduction of `states` (leaves
+    (..., length)) along the LAST axis with spec.merge.  Pads to the
+    next power of two with the identity."""
+    size = 1
+    while size < max(length, 1):
+        size *= 2
+    ident = spec.identity()
+    if size != length:
+        states = jax.tree_util.tree_map(
+            lambda x, e: jnp.concatenate(
+                [x, jnp.full(x.shape[:-1] + (size - length,), e, x.dtype)],
+                axis=-1),
+            states, ident)
+    while size > 1:
+        half = size // 2
+        states = spec.merge(
+            jax.tree_util.tree_map(lambda x: x[..., 0:size:2], states),
+            jax.tree_util.tree_map(lambda x: x[..., 1:size:2], states))
+        size = half
+    return jax.tree_util.tree_map(lambda x: x[..., 0], states)
+
+
+def chain_fun(spec: ChainSpec, d: int):
+    """Full-index integrand derived from the spec:
+    fun(ind (B, d) int32) -> (B,) — the generic evaluator for entries
+    that are not hunt candidates (initial search, accchk, tests)."""
+    def fun(ind):
+        ind = jnp.asarray(ind)
+        dims = jnp.broadcast_to(jnp.arange(d, dtype=ind.dtype),
+                                ind.shape)
+        return spec.finalize(reduce_merge(spec, spec.lift(dims, ind), d))
+
+    return fun
+
+
+def interface_states(spec: ChainSpec, LT, RT, d: int):
+    """Interface states from the bond chain tables.
+
+    LT/RT (nb, R, d): left/right multi-index tables of every bond
+    (cross/chains.py::all_left_tables/all_right_tables).  Returns
+    (Ls, Rs) state pytrees with leaves (nb, R):
+      Ls[b, i] = merged state of modes 0..b-1 on left chain i,
+      Rs[b, q] = merged state of modes b+2..d-1 on right chain q."""
+    nb = d - 1
+    ps = jnp.arange(nb)
+    dims = jnp.arange(d, dtype=LT.dtype)
+    dgrid = jnp.broadcast_to(dims, LT.shape)
+    ident = spec.identity()
+
+    lmask = dims[None, None, :] < ps[:, None, None]        # modes < b
+    Lst = _tree_where(lmask, spec.lift(dgrid, LT),
+                      jax.tree_util.tree_map(
+                          lambda e: jnp.asarray(e, jnp.result_type(float)),
+                          ident))
+    Ls = reduce_merge(spec, Lst, d)
+
+    rmask = dims[None, None, :] > (ps + 1)[:, None, None]  # modes > b+1
+    Rst = _tree_where(rmask, spec.lift(dgrid, RT),
+                      jax.tree_util.tree_map(
+                          lambda e: jnp.asarray(e, jnp.result_type(float)),
+                          ident))
+    Rs = reduce_merge(spec, Rst, d)
+    return Ls, Rs
+
+
+def _take_state(S, idx):
+    """Gather states along the link axis: leaves (mc, R) + idx (mc, B)
+    -> leaves (mc, B).  Dense-grid gather reads (the fast path on TPU;
+    only scatters are element-serial, BENCH_NOTES 2026-08-19)."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.take_along_axis(a, idx, axis=1), S)
+
+
+class ChainEvaluator:
+    """Hunt-candidate evaluators bound to one ChainSpec.
+
+    Built once per engine; all methods are traceable and windowable:
+    state pytrees carry a leading bond axis that callers slice to their
+    window (the distributed jacobi path slices to its slab)."""
+
+    def __init__(self, spec: ChainSpec, d: int):
+        self.spec = spec
+        self.d = d
+        self.fun = chain_fun(spec, d)
+
+    def states(self, LT, RT):
+        return interface_states(self.spec, LT, RT, self.d)
+
+    def eval_cand(self, Lw, Rw, psw, i, j, k, q):
+        """Candidates (i, j, k, q) (mc, B) at window bonds psw (mc,)
+        -> values (mc, B).  Lw/Rw: window-sliced states, leaves (mc, R)."""
+        sp = self.spec
+        Li = _take_state(Lw, i)
+        Rq = _take_state(Rw, q)
+        lj = sp.lift(psw[:, None], j)
+        lk = sp.lift(psw[:, None] + 1, k)
+        return sp.finalize(sp.merge(sp.merge(Li, lj), sp.merge(lk, Rq)))
+
+    def eval_col(self, Lw, Rw, psw, kk, qq, iN):
+        """Column fibers: all (i, j) over (R, N) at fixed (kk, qq) per
+        window bond -> (mc, R, N)."""
+        sp = self.spec
+        L2 = sp.merge(
+            jax.tree_util.tree_map(lambda a: a[:, :, None], Lw),
+            jax.tree_util.tree_map(lambda a: a[:, None, :],
+                                   sp.lift(psw[:, None], iN[None, :])))
+        Rfix = sp.merge(sp.lift((psw + 1)[:, None], kk[:, None]),
+                        _take_state(Rw, qq[:, None]))        # (mc, 1)
+        return sp.finalize(sp.merge(
+            L2, jax.tree_util.tree_map(lambda a: a[:, :, None], Rfix)))
+
+    def eval_row(self, Lw, Rw, psw, ii, jj, iN):
+        """Row fibers: all (k, q) over (N, R) at fixed (ii, jj) per
+        window bond -> (mc, N, R)."""
+        sp = self.spec
+        Lfix = sp.merge(_take_state(Lw, ii[:, None]),
+                        sp.lift(psw[:, None], jj[:, None]))  # (mc, 1)
+        R2 = sp.merge(
+            jax.tree_util.tree_map(
+                lambda a: a[:, :, None],
+                sp.lift(psw[:, None] + 1, iN[None, :])),     # (mc, N, 1)
+            jax.tree_util.tree_map(lambda a: a[:, None, :], Rw))
+        return sp.finalize(sp.merge(
+            jax.tree_util.tree_map(lambda a: a[:, None, :], Lfix), R2))
+
+    def eval_corner_col(self, Ls, Rs, ps, i0, kk, qq, iN):
+        """Corner column fibers (nb, N): mode j varies at fixed
+        (i0, kk, qq) per bond (the jacobi corner repair batch)."""
+        sp = self.spec
+        Li = _take_state(Ls, i0[:, None])                    # (nb, 1)
+        lj = sp.lift(ps[:, None], iN[None, :])               # (nb, N)
+        Rfix = sp.merge(sp.lift((ps + 1)[:, None], kk[:, None]),
+                        _take_state(Rs, qq[:, None]))        # (nb, 1)
+        return sp.finalize(sp.merge(sp.merge(Li, lj), Rfix))
+
+    def eval_corner_row(self, Ls, Rs, ps, ii, jj, q0, iN):
+        """Corner row fibers (nb, N): mode k varies at fixed
+        (ii, jj, q0) per bond."""
+        sp = self.spec
+        Lfix = sp.merge(_take_state(Ls, ii[:, None]),
+                        sp.lift(ps[:, None], jj[:, None]))   # (nb, 1)
+        lk = sp.lift(ps[:, None] + 1, iN[None, :])           # (nb, N)
+        Rq = _take_state(Rs, q0[:, None])
+        return sp.finalize(sp.merge(Lfix, sp.merge(lk, Rq)))

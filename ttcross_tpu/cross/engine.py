@@ -53,6 +53,10 @@ class CrossConfig:
     wlot: bool = False   # weight the lottery by the quadrature weights
                          # (lottery2's arbitrary-weights path, rnd.f90:105-126)
     jacobi: bool = False  # all-bonds-batched Jacobi sweeps (sweep_mode="jacobi")
+    rb: bool = False     # red-black two-phase variant (sweep_mode=
+                         # "jacobi-rb"): even bonds accept, then odd bonds
+                         # against fresh factors — sequential-grade
+                         # neighbor coupling at batched-call cost
     caps: tuple | None = None  # per-bond rank caps (cross(rank_caps=...)):
                          # integrand batches shrink to the capped per-bond
                          # fiber sizes, closing the padded-work gap that a
@@ -227,25 +231,30 @@ _ENGINE_PINS: list = []  # keep integrand objects alive so id() keys stay valid
 _EXPORT_WRAP: dict = {}  # full_fn id -> export-cache-backed wrapper
 
 
-def get_engine(fun: Callable, cfg: CrossConfig):
+def get_engine(fun: Callable, cfg: CrossConfig, chain=None):
     """Memoized make_engine: repeated cross() calls with the same integrand
     and config reuse the compiled XLA executables (compilation through the
     TPU toolchain is expensive; tracing fresh jitted closures per call would
     recompile every time).  Bound methods are keyed by their bound object so
     `prob.fun` hits the cache across accesses."""
     target = getattr(fun, "__self__", fun)
-    key = (id(target), getattr(fun, "__name__", None), cfg)
+    key = (id(target), getattr(fun, "__name__", None), cfg,
+           None if chain is None else id(chain))
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         _ENGINE_PINS.append(target)
-        eng = _ENGINE_CACHE[key] = make_engine(fun, cfg)
+        if chain is not None:
+            _ENGINE_PINS.append(chain)
+        eng = _ENGINE_CACHE[key] = make_engine(fun, cfg, chain=chain)
     return eng
 
 
-def make_engine(fun: Callable, cfg: CrossConfig):
+def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
     """Build the jitted phases: (init_fn, sweep_fn, value_fn).
 
-    fun: batched integrand ind(B, d) int32 -> (B,) values."""
+    fun: batched integrand ind(B, d) int32 -> (B,) values.
+    chain: optional chain_eval.ChainSpec — O(1) interface-state hunt
+    evaluation for chain-structured integrands (jacobi sweep family)."""
     d, N, R = cfg.d, cfg.N, cfg.R
     n_arr = jnp.asarray(cfg.n, dtype=jnp.int32)
     NLOT = 2 * (R + N)
@@ -1002,9 +1011,15 @@ def make_engine(fun: Callable, cfg: CrossConfig):
     # (all-bonds-batched sweep family: cross/engine_jacobi.py)
     from .engine_jacobi import build_jacobi
 
+    chain_ev = None
+    if chain is not None:
+        from .chain_eval import ChainEvaluator
+
+        chain_ev = ChainEvaluator(chain, d)
     (make_sweep_jacobi, jacobi_hunt, jacobi_apply,
      _sweep_jacobi_body) = build_jacobi(
-        cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div)
+        cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
+        chain_ev=chain_ev)
 
     if cfg.jacobi:
         _sweep_jac = {True: make_sweep_jacobi(True),
@@ -1242,6 +1257,7 @@ def cross(
     sweep_mode: str = "sequential",
     rank_caps: Sequence[int] | None = None,
     adaptive: float | bool = 0.0,
+    chain=None,
 ) -> CrossResult:
     """Approximate the black-box tensor fun in TT format by DMRG-greedy
     cross interpolation (public API mirroring dtt_dmrgg's contract,
@@ -1309,6 +1325,13 @@ def cross(
     residual hides > `adaptive`-fold above the lottery's best draw is
     skipped that sweep (the lottery re-probes every sweep, so a gated bond
     is reconsidered, not frozen).  Sequential sweeps with pivoting >= 0.
+    chain: optional cross/chain_eval.py::ChainSpec for a chain-structured
+    integrand (an associative lift/merge/finalize monoid over the mode
+    axis, e.g. apps.ising.ising_c_chain).  The jacobi sweep family then
+    evaluates hunt candidates in O(1) from cached per-bond interface
+    states instead of O(d) per entry — the decisive long-chain
+    accelerant (C_256).  Values agree with fun to rounding order;
+    n_evals accounting is unchanged.
     NOTE — this is an evaluation-BUDGET feature, not a wall-time one: the
     per-bond lax.cond gating costs more than the skipped fibers save when
     the integrand is cheap traced code (measured: stdnorm d=10 saves 28%
@@ -1378,7 +1401,8 @@ def cross(
                         small_element=small_element, small_pivot=small_pivot,
                         weighted_lottery=weighted_lottery,
                         sweep_mode=sweep_mode, adaptive=adaptive,
-                        rank_caps=caps_over, return_pivots=True)
+                        rank_caps=caps_over, return_pivots=True,
+                        chain=chain)
             res = _apply_host_reeval(res, host_reeval, n, max_rank,
                                      quad, truth)
             if not return_state:
@@ -1391,7 +1415,8 @@ def cross(
                     small_element=small_element, small_pivot=small_pivot,
                     rank_chunks=chunks_over, weighted_lottery=weighted_lottery,
                     sweep_mode=sweep_mode, adaptive=adaptive,
-                    rank_caps=caps_over, refine_sweeps=refine_sweeps)
+                    rank_caps=caps_over, refine_sweeps=refine_sweeps,
+                    chain=chain)
         return round_and_revalue(res, max_rank, quad, truth)
     se, sp = precision_thresholds(dtype)
     # acceptance thresholds are overridable: the per-dtype defaults
@@ -1413,9 +1438,9 @@ def cross(
         # (chunked growth, resume) need the full state materialized
         if rank_chunks is not None or init_state is not None:
             return_state = True
-    if sweep_mode not in ("sequential", "jacobi"):
+    if sweep_mode not in ("sequential", "jacobi", "jacobi-rb"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
-    if sweep_mode == "jacobi" and int(pivoting) < 0:
+    if sweep_mode.startswith("jacobi") and int(pivoting) < 0:
         # fail at the API boundary, not as a NotImplementedError from
         # engine tracing (the batched jacobi hunt has no full-pivoting
         # superblock variant)
@@ -1425,7 +1450,7 @@ def cross(
         if int(pivoting) < 0:
             raise ValueError("adaptive gating requires pivoting >= 0 "
                              "(full pivoting has no lottery probe)")
-        if sweep_mode == "jacobi":
+        if sweep_mode.startswith("jacobi"):
             raise ValueError("adaptive gating applies to sequential sweeps")
     caps = None
     if rank_caps is not None:
@@ -1433,7 +1458,7 @@ def cross(
         if len(caps) != d - 1 or min(caps) < 1:
             raise ValueError(f"rank_caps must be d-1 = {d - 1} positive "
                              f"per-bond caps; got {caps}")
-        if sweep_mode == "jacobi":
+        if sweep_mode.startswith("jacobi"):
             raise ValueError("rank_caps is not supported with jacobi sweeps")
         if int(pivoting) < 0:
             raise ValueError("rank_caps requires pivoting >= 0")
@@ -1444,9 +1469,10 @@ def cross(
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp, use_pallas=use_pallas,
                       wlot=bool(weighted_lottery),
-                      jacobi=sweep_mode == "jacobi", caps=caps,
+                      jacobi=sweep_mode.startswith("jacobi"),
+                      rb=sweep_mode == "jacobi-rb", caps=caps,
                       adaptive=adaptive)
-    kit = get_engine(fun, cfg)
+    kit = get_engine(fun, cfg, chain=chain)
     init_fn, value_fn, make_run_fn = kit.init_fn, kit.value_fn, kit.make_run_fn
 
     if isinstance(key, int):
@@ -1477,7 +1503,7 @@ def cross(
                     f"max_rank={max_rank}; got {chunks}")
             res = _cross_chunked(fun, cfg, chunks, key, w, with_quad,
                                  accuracy, truth, max_sweeps, verbose,
-                                 return_state, t0)
+                                 return_state, t0, chain=chain)
             if refine_sweeps:
                 res = _apply_refine(res, fun, n, refine_sweeps, quad, truth)
                 if not user_return_state:
@@ -1501,7 +1527,12 @@ def cross(
                     full_fn, fun, cfg, max_sweeps, with_quad, accuracy, (key, w))
                 _EXPORT_WRAP[(id(full_fn), ck)] = cached
             full_fn = cached
-        solved, packed = full_fn(key, w)
+        from ..utils.heartbeat import heartbeat
+
+        hb = (f"cross d={d} R={cfg.R} "
+              f"{'jacobi' if cfg.jacobi else 'sequential'} sweep engine")
+        with heartbeat(hb):
+            solved, packed = full_fn(key, w)
         packed = np.asarray(packed)
         S = max_sweeps + 1
         vals = packed[:S]
@@ -1521,9 +1552,12 @@ def cross(
         # checkpoint/resume: restart from a saved CrossState (engine-state
         # persistence the reference lacks, SURVEY.md §5; save with
         # tt.serialize.save_state / load_state)
-        st = init_fn(key) if init_state is None else init_state
-        run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
-        st, last_it, vals, pmax, nev, _ = run_fn(st, w)
+        from ..utils.heartbeat import heartbeat
+
+        with heartbeat(f"cross d={d} R={cfg.R} stateful engine"):
+            st = init_fn(key) if init_state is None else init_state
+            run_fn = make_run_fn(max_sweeps, with_quad, accuracy)
+            st, last_it, vals, pmax, nev, _ = run_fn(st, w)
         last_it = int(last_it)
         vals = np.asarray(vals)
         pmax = np.asarray(pmax)
@@ -1635,7 +1669,8 @@ def _apply_refine(res: CrossResult, fun, n, refine_sweeps, quad, truth,
 
 
 def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
-                   accuracy, truth, max_sweeps, verbose, return_state, t0):
+                   accuracy, truth, max_sweeps, verbose, return_state, t0,
+                   chain=None):
     """Chunked rank-padding growth: run the sweep loop at increasing padded
     ranks, re-embedding the state between chunks (state.pad_state).  The
     global iteration counter and the quiet-sweep strike carry across chunks
@@ -1670,7 +1705,7 @@ def _cross_chunked(fun, cfg: CrossConfig, chunks, key, w, with_quad,
     kit_c = None
     for ci, (Rc, len_c) in enumerate(plan):
         cfg_c = dc_replace(cfg, R=Rc)
-        kit_c = get_engine(fun, cfg_c)
+        kit_c = get_engine(fun, cfg_c, chain=chain)
         if ci == 0:
             st = kit_c.init_fn(key)
         else:

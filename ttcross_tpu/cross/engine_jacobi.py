@@ -26,11 +26,20 @@ from .state import CrossState
 __all__ = ["build_jacobi"]
 
 
-def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
+def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
+                 chain_ev=None):
     """Build (make_sweep_jacobi, jacobi_hunt, jacobi_apply,
     sweep_jacobi_body) bound to the engine context: cfg/fun plus the
     static geometry (d, N, R, NLOT) and index vectors (iR, iN, n_arr)
-    get_engine already derived."""
+    get_engine already derived.
+
+    chain_ev: optional cross/chain_eval.py::ChainEvaluator for a
+    chain-structured integrand — hunt candidates are then evaluated in
+    O(1) from per-bond interface states (3 merges + a finalize) instead
+    of assembling full (B, d) index batches and paying the O(d)
+    integrand per candidate.  n_evals accounting is unchanged (the same
+    tensor entries are examined)."""
+    ce = chain_ev
     def make_sweep_jacobi(fwd: bool):
         """All-bonds-batched sweep in a STATIC direction: every bond hunts
         CONCURRENTLY against the start-of-sweep factors, so one sweep costs
@@ -77,8 +86,15 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
         def win(a, off=0, width=None):
             return jax.lax.dynamic_slice_in_dim(a, base + off, mc, axis=0)
 
-        LT = win(all_left_tables(st.vip, d))  # (mc, R, d)
-        RT = win(all_right_tables(st.vip, d))
+        LTf = all_left_tables(st.vip, d)      # (nb, R, d)
+        RTf = all_right_tables(st.vip, d)
+        LT = win(LTf)                         # (mc, R, d)
+        RT = win(RTf)
+        if ce is not None:
+            # interface states once per hunt; window-sliced like the tables
+            Lsf, Rsf = ce.states(LTf, RTf)
+            Lw = jax.tree_util.tree_map(win, Lsf)
+            Rw = jax.tree_util.tree_map(win, Rsf)
         rk = st.rk
         rk_l = win(rk)                        # (mc,) rk[p]
         rk_b = win(rk, 1)                     # rk[p+1]
@@ -131,8 +147,11 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
         nlot_act = rk_l + n_l + n_r + rk_r
         candmask = lv1 & (jnp.arange(NLOT)[None, :] < nlot_act[:, None])
         asm = jax.vmap(assemble_indices, (0, 0, 0, 0, 0, 0, 0, None))
-        ind = asm(LT, RT, psw, i_c, j_c, k_c, q_c, d)         # (mc, NLOT, d)
-        b = fun(ind.reshape(-1, d)).reshape(mc, NLOT)
+        if ce is None:
+            ind = asm(LT, RT, psw, i_c, j_c, k_c, q_c, d)     # (mc, NLOT, d)
+            b = fun(ind.reshape(-1, d)).reshape(mc, NLOT)
+        else:
+            b = ce.eval_cand(Lw, Rw, psw, i_c, j_c, k_c, q_c)
         amax = jnp.maximum(st.amax,
                            jnp.max(jnp.where(candmask, jnp.abs(b), 0.0)))
         neval = st.neval + jnp.sum(
@@ -181,9 +200,12 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
             live = ~c["done"]                                  # (mc,)
             crs = c["crs"] + 1
             if is_col:
-                ind = asm_col(LT, RT, psw, c["kk"], c["qq"])    # (mc, R*N, d)
-                vals = fun(ind.reshape(-1, d)).reshape(mc, R * N)
-                acol = jnp.where(cmask, vals.reshape(mc, R, N), 0.0)
+                if ce is None:
+                    ind = asm_col(LT, RT, psw, c["kk"], c["qq"])  # (mc,R*N,d)
+                    vals = fun(ind.reshape(-1, d)).reshape(mc, R, N)
+                else:
+                    vals = ce.eval_col(Lw, Rw, psw, c["kk"], c["qq"], iN)
+                acol = jnp.where(cmask, vals, 0.0)
                 amax = amax2(c["amax"], jnp.max(jnp.abs(acol)))
                 dnev = jnp.sum(jnp.where(live, rk_l * n_l, 0)).astype(jnp.int64)
                 u = batched_row_lookup(
@@ -207,9 +229,12 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
                     pivot=jnp.where(upd, pv, c["pivot"]),
                     acol=acol, arow=c["arow"])
             else:
-                ind = asm_row(LT, RT, psw, c["ii"], c["jj"])
-                vals = fun(ind.reshape(-1, d)).reshape(mc, R * N)
-                arow = jnp.where(rmask2, vals.reshape(mc, N, R), 0.0)
+                if ce is None:
+                    ind = asm_row(LT, RT, psw, c["ii"], c["jj"])
+                    vals = fun(ind.reshape(-1, d)).reshape(mc, N, R)
+                else:
+                    vals = ce.eval_row(Lw, Rw, psw, c["ii"], c["jj"], iN)
+                arow = jnp.where(rmask2, vals, 0.0)
                 amax = amax2(c["amax"], jnp.max(jnp.abs(arow)))
                 dnev = jnp.sum(jnp.where(live, n_r * rk_r, 0)).astype(jnp.int64)
                 cw = batched_row_lookup(
@@ -247,11 +272,17 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
 
         if cfg.piv == 0:
             # seed fibers once: one col call + one row call (all bonds)
-            ind_col = asm_col(LT, RT, psw, c["kk"], c["qq"])
-            vals = fun(ind_col.reshape(-1, d)).reshape(mc, R, N)
+            if ce is None:
+                ind_col = asm_col(LT, RT, psw, c["kk"], c["qq"])
+                vals = fun(ind_col.reshape(-1, d)).reshape(mc, R, N)
+            else:
+                vals = ce.eval_col(Lw, Rw, psw, c["kk"], c["qq"], iN)
             acol = jnp.where(cmask, vals, 0.0)
-            ind_row = asm_row(LT, RT, psw, c["ii"], c["jj"])
-            vals = fun(ind_row.reshape(-1, d)).reshape(mc, N, R)
+            if ce is None:
+                ind_row = asm_row(LT, RT, psw, c["ii"], c["jj"])
+                vals = fun(ind_row.reshape(-1, d)).reshape(mc, N, R)
+            else:
+                vals = ce.eval_row(Lw, Rw, psw, c["ii"], c["jj"], iN)
             arow = jnp.where(rmask2, vals, 0.0)
             amax = jnp.maximum(c["amax"], jnp.maximum(
                 jnp.max(jnp.abs(acol)), jnp.max(jnp.abs(arow))))
@@ -267,7 +298,8 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
                     pivot=c["pivot"], acol=c["acol"], arow=c["arow"])
         return hunt, c["amax"], c["neval"], padded
 
-    def jacobi_apply(st: CrossState, hunt, corner_count=None) -> CrossState:
+    def jacobi_apply(st: CrossState, hunt, corner_count=None,
+                     live=None) -> CrossState:
         """Batched acceptance + corner repair + vectorized reconstruction
         for a FULL-width (d-1 bonds) jacobi hunt result.  Deterministic in
         (st, hunt): on a mesh every device runs this replicated on the
@@ -301,6 +333,10 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
         upd = ((jnp.abs(pivot) > cfg.small_element * amax)
                & (jnp.abs(pivot) > cfg.small_pivot * st.pivotmax_prev)
                & (rk_b < R))
+        if live is not None:
+            # red-black phase gating: only this parity's bonds accept
+            # (their hunt rows are the live ones; dead rows are garbage)
+            upd = upd & live
         piv_safe = jnp.where(jnp.abs(pivot) > 0, pivot, 1.0)
         from ..ops.dense import batched_row_lookup
 
@@ -340,16 +376,22 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
         rmiss = upd & jnp.concatenate([upd[1:], jnp.zeros((1,), bool)])
         i_newL = (st.rk[:-2] - 1).astype(jnp.int32)            # new left link
         q_newR = (st.rk[2:] - 1).astype(jnp.int32)
-        asm_cc = jax.vmap(lambda lt, rt, p, i0, kk, qq: assemble_indices(
-            lt, rt, p, jnp.full((N,), i0), iN, jnp.full((N,), kk),
-            jnp.full((N,), qq), d))
-        asm_rc = jax.vmap(lambda lt, rt, p, ii, jj, q0: assemble_indices(
-            lt, rt, p, jnp.full((N,), ii), jnp.full((N,), jj), iN,
-            jnp.full((N,), q0), d))
-        ind_cc = asm_cc(LT2, RT2, ps, i_newL, kk, qq)          # (nb, N, d)
-        ind_rc = asm_rc(LT2, RT2, ps, ii, jj, q_newR)
-        vals_c = fun(jnp.concatenate([ind_cc, ind_rc])
-                     .reshape(-1, d)).reshape(2, nb, N)
+        if ce is None:
+            asm_cc = jax.vmap(lambda lt, rt, p, i0, kk, qq: assemble_indices(
+                lt, rt, p, jnp.full((N,), i0), iN, jnp.full((N,), kk),
+                jnp.full((N,), qq), d))
+            asm_rc = jax.vmap(lambda lt, rt, p, ii, jj, q0: assemble_indices(
+                lt, rt, p, jnp.full((N,), ii), jnp.full((N,), jj), iN,
+                jnp.full((N,), q0), d))
+            ind_cc = asm_cc(LT2, RT2, ps, i_newL, kk, qq)      # (nb, N, d)
+            ind_rc = asm_rc(LT2, RT2, ps, ii, jj, q_newR)
+            vals_c = fun(jnp.concatenate([ind_cc, ind_rc])
+                         .reshape(-1, d)).reshape(2, nb, N)
+        else:
+            Ls2, Rs2 = ce.states(LT2, RT2)
+            vals_c = jnp.stack([
+                ce.eval_corner_col(Ls2, Rs2, ps, i_newL, kk, qq, iN),
+                ce.eval_corner_row(Ls2, Rs2, ps, ii, jj, q_newR, iN)])
         corner_col = jnp.where(lmiss[:, None] & (iN[None, :] < n_l[:, None]),
                                vals_c[0], 0.0)                 # (nb, N)
         corner_row = jnp.where(rmiss[:, None] & (iN[None, :] < n_r[:, None]),
@@ -411,9 +453,48 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div):
         key, sub = jax.random.split(st.key)
         U = jax.random.uniform(sub, (nb, 2, NLOT), jnp.float64)
         st = st._replace(key=key)
+        if getattr(cfg, "rb", False):
+            return _rb_phases(st, U, dir_fwd, lw)
         hunt, amax, neval, padded = jacobi_hunt(
             st, U, dir_fwd, 0, nb, jnp.ones((nb,), bool), lw)
         st = st._replace(amax=amax, neval=neval, padded=padded)
         return jacobi_apply(st, hunt)
+
+    def _rb_phases(st: CrossState, U, dir_fwd: bool, lw=None) -> CrossState:
+        """Red-black (two-phase Gauss-Seidel) sweep: even bonds hunt and
+        accept batched, THEN odd bonds against the post-even factors.
+
+        Single-phase jacobi hunts every bond against start-of-sweep
+        factors, so a bond's factor rows for its neighbor's new pivot are
+        one sweep stale and need the corner repair — the measured ~1.3
+        digit quality gap vs the sequential visit order at equal rank
+        (BENCH_r04 C_256: 11.06 vs 12.4).  With alternating parities a
+        bond's NEIGHBORS are always in the other phase: their accepts land
+        before its hunt, the hunt's padded fibers re-evaluate the new
+        rows fresh (lmiss/rmiss never fire within a phase), and the pivot
+        candidate pool sees half-sweep-fresh residuals — sequential-grade
+        neighbor coupling at two batched calls per sweep.  Cross-parity
+        long-range staleness (chain tables) refreshes between phases too:
+        LT/RT are rebuilt from the post-even vip."""
+        nb = d - 1
+        ps = jnp.arange(nb)
+        pm_prev = st.pivotmax_prev
+        pms, pns = [], []
+        for par in (0, 1):
+            live = (ps % 2) == par
+            # threshold against the PREVIOUS SWEEP's pivotmax in both
+            # phases (dmrgg.f90:598-600 uses the prior iteration's value)
+            st = st._replace(pivotmax_prev=pm_prev)
+            hunt, amax, neval, padded = jacobi_hunt(
+                st, U, dir_fwd, 0, nb, live, lw)
+            st = st._replace(amax=amax, neval=neval, padded=padded)
+            st = jacobi_apply(st, hunt, live=live)
+            pms.append(st.pivotmax)
+            pns.append(st.pivotmin)
+        pm = jnp.maximum(pms[0], pms[1])          # -1 sentinel = no accept
+        pn = jnp.where(pns[0] < 0, pns[1],
+                       jnp.where(pns[1] < 0, pns[0],
+                                 jnp.minimum(pns[0], pns[1])))
+        return st._replace(pivotmax=pm, pivotmin=pn, pivotmax_prev=pm)
 
     return make_sweep_jacobi, jacobi_hunt, jacobi_apply, _sweep_jacobi_body

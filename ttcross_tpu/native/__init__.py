@@ -15,7 +15,8 @@ import threading
 import numpy as np
 
 __all__ = ["available", "gauss_legendre_dd", "contract_q", "tt_write_native",
-           "tt_read_native", "gaussian_chf_native", "build"]
+           "tt_read_native", "gaussian_chf_native", "build",
+           "mpfr_available", "build_mpfr"]
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "src", "ttcross_native.cpp")
@@ -75,6 +76,76 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+# ------------------------------------------------------------------ MPFR
+# Second shared library: the native arbitrary-precision cross engine
+# (src/mpfr_cross.cpp, the reference's compiled-MPFR role).  Built and
+# loaded separately so the base lib keeps zero external dependencies;
+# the image ships libmpfr.so.6/libgmp.so.10 without dev symlinks, hence
+# the -l: versioned-name links.
+_MPFR_SRC = os.path.join(_DIR, "src", "mpfr_cross.cpp")
+_MPFR_LIB = os.path.join(_DIR, "libttcross_mpfr.so")
+_mpfr_lib = None
+_mpfr_tried = False
+
+
+def build_mpfr(force: bool = False) -> bool:
+    if (os.path.exists(_MPFR_LIB) and not force
+            and os.path.getmtime(_MPFR_LIB) >= os.path.getmtime(_MPFR_SRC)):
+        return True
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _MPFR_LIB, _MPFR_SRC,
+           "-l:libmpfr.so.6", "-l:libgmp.so.10"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        return False
+
+
+def _load_mpfr():
+    global _mpfr_lib, _mpfr_tried
+    with _lock:
+        if _mpfr_lib is not None or _mpfr_tried:
+            return _mpfr_lib
+        _mpfr_tried = True
+        if not build_mpfr():
+            return None
+        lib = ctypes.CDLL(_MPFR_LIB)
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+        lib.mp_selftest.restype = ctypes.c_int64
+        lib.mp_ising_cross.restype = ctypes.c_int64
+        lib.mp_ising_cross.argtypes = [
+            ctypes.c_char, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            i64p, f64p, f64p, ctypes.c_int64]
+        lib.mp_cross_cb.restype = ctypes.c_int64
+        lib.mp_cross_cb.argtypes = [
+            MP_FUN_CB, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), i64p]
+        # ABI sanity before trusting the hand-declared struct layout
+        if lib.mp_selftest() != 27182818:
+            _mpfr_lib = None
+            return None
+        _mpfr_lib = lib
+        return _mpfr_lib
+
+
+MP_FUN_CB = ctypes.CFUNCTYPE(None, ctypes.c_int64,
+                             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                             ctypes.POINTER(ctypes.c_char), ctypes.c_int64)
+
+
+def mpfr_available() -> bool:
+    return _load_mpfr() is not None
 
 
 def gauss_legendre_dd(n: int):
