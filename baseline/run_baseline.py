@@ -36,8 +36,11 @@ CONFIGS = [
     ("mvn_d6", ["mvn", "6", "65", "20", "1"], "mvn_d6"),
     ("coscoeff_d6", ["coscoeff", "6", "65", "20", "1"], "coscoeff_d6"),
     ("ising_c6", ["ising", "C", "6", "64", "24", "1"], "ising_c6"),
-    # long chain: the TPU jacobi engine's home turf (bench ising_c256_jacobi)
+    # long chains: the TPU jacobi engine's home turf (bench
+    # ising_c256_jacobi / ising_c1024_rb; per-eval cost grows ~linearly
+    # with d here while the batched device sweep is ~d-independent)
     ("ising_c256", ["ising", "C", "256", "17", "10", "1"], "ising_c256"),
+    ("ising_c1024", ["ising", "C", "1024", "17", "10", "1"], "ising_c1024"),
 ]
 
 

@@ -78,8 +78,9 @@ def _baseline_live():
                           "baseline", "run_baseline.py")
     try:
         proc = subprocess.run(
-            [sys.executable, script, "--live", "ising_c6,ising_c256", "3"],
-            capture_output=True, text=True, timeout=240, check=True)
+            [sys.executable, script, "--live",
+             "ising_c6,ising_c256,ising_c1024", "2"],
+            capture_output=True, text=True, timeout=300, check=True)
         data = json.loads(proc.stdout.splitlines()[-1])
         _emit({"metric": "baseline_live", **{
             k: v for k, v in data.items() if k != "measured_at"}})
@@ -675,6 +676,33 @@ def main():
     if (os.environ.get("TTCROSS_BENCH_C256", "1") not in ("0", "false")
             and not headline_only):
         guarded("ising_c256_jacobi", config_c256)
+
+    # ---- longest chain: C_1024 (d=1023) rb+chain — the decisive wall
+    # win: the twin's per-evaluation cost grows ~linearly with d (each
+    # eval walks the whole chain) while the batched device sweep is
+    # ~d-independent (fixed batched calls per sweep).  Measured twin:
+    # 4.7 s / 712k evals / ~10.8 digits at this config (1-core host).
+    def config_c1024():
+        p = make_ising("C", m=1024, n=17)
+        cargs = dict(max_rank=10, accuracy=acc, pivoting=1,
+                     quad=[p.quad_weights] * p.d, truth=p.truth,
+                     sweep_mode="jacobi-rb", chain=p.chain)
+        res, el, _ = _timed(lambda: cross(p.fun, [p.n] * p.d, **cargs))
+        extras = {"sweep_ms": round(1e3 * el / max(res.sweeps, 1), 1),
+                  "sweep_mode": "jacobi-rb", "chain_eval": True}
+        b, src = _baseline_config("ising_c1024")
+        if b:
+            extras["baseline_evals_per_sec"] = b["evals_per_sec"]
+            extras["baseline_wall_s"] = b["wall_time_s"]
+            extras["baseline_digits"] = b["correct_digits"]
+            extras["baseline_source"] = src
+            extras["speedup_vs_baseline_wall"] = round(
+                b["wall_time_s"] / el, 2)
+        line("ising_c1024_rb", res, el, extras)
+
+    if (os.environ.get("TTCROSS_BENCH_C1024", "1") not in ("0", "false")
+            and not headline_only and not fallback):
+        guarded("ising_c1024_rb", config_c1024)
 
     # ---- batch family line: L parameterized crosses fused into ONE
     # device program (cross_batch) vs L single runs, steady state.  The

@@ -86,6 +86,30 @@ def test_evaluators_match_assembled_fun(prob):
     np.testing.assert_allclose(crv[b], np.asarray(prob.fun(ind)), rtol=1e-13)
 
 
+def test_states_scan_matches_tables(prob):
+    """interface_states_scan (operator scan, no index tables — the hot
+    path) equals the table+lift+reduce route on random vip chains."""
+    from ttcross_tpu.cross.chain_eval import (interface_states,
+                                              interface_states_scan)
+
+    d, n = prob.d, prob.n
+    R, nb = 6, d - 1
+    rng = np.random.default_rng(3)
+    vip = rng.integers(0, n, size=(nb, R, 4)).astype(np.int32)
+    vip[:, :, 0] %= R
+    vip[:, :, 3] %= R
+    vip = jnp.asarray(vip)
+    LT = all_left_tables(vip, d)
+    RT = all_right_tables(vip, d)
+    Ls1, Rs1 = interface_states(prob.chain, LT, RT, d)
+    Ls2, Rs2 = interface_states_scan(prob.chain, vip, d)
+    for k in Ls1:
+        np.testing.assert_allclose(np.asarray(Ls2[k]), np.asarray(Ls1[k]),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(Rs2[k]), np.asarray(Rs1[k]),
+                                   rtol=1e-12, atol=1e-14)
+
+
 def test_jacobi_chain_matches_plain():
     p = make_ising("C", m=16, n=17)
     args = dict(max_rank=6, accuracy=ACC, pivoting=1,

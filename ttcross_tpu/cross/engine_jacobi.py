@@ -86,13 +86,13 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         def win(a, off=0, width=None):
             return jax.lax.dynamic_slice_in_dim(a, base + off, mc, axis=0)
 
-        LTf = all_left_tables(st.vip, d)      # (nb, R, d)
-        RTf = all_right_tables(st.vip, d)
-        LT = win(LTf)                         # (mc, R, d)
-        RT = win(RTf)
-        if ce is not None:
-            # interface states once per hunt; window-sliced like the tables
-            Lsf, Rsf = ce.states(LTf, RTf)
+        if ce is None:
+            LT = win(all_left_tables(st.vip, d))   # (mc, R, d)
+            RT = win(all_right_tables(st.vip, d))
+        else:
+            # interface states once per hunt, straight from the vip
+            # chains (no index tables on the chain path) — window-sliced
+            Lsf, Rsf = ce.states_from_vip(st.vip)
             Lw = jax.tree_util.tree_map(win, Lsf)
             Rw = jax.tree_util.tree_map(win, Rsf)
         rk = st.rk
@@ -299,7 +299,7 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         return hunt, c["amax"], c["neval"], padded
 
     def jacobi_apply(st: CrossState, hunt, corner_count=None,
-                     live=None) -> CrossState:
+                     live=None, skip_corners: bool = False) -> CrossState:
         """Batched acceptance + corner repair + vectorized reconstruction
         for a FULL-width (d-1 bonds) jacobi hunt result.  Deterministic in
         (st, hunt): on a mesh every device runs this replicated on the
@@ -370,13 +370,22 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
                          pivotmax=pivotmax, pivotmin=pivotmin)
 
         # ---------------- corner fibers (one batched call, dmrgg.f90:928-932)
-        LT2 = all_left_tables(st.vip, d)
-        RT2 = all_right_tables(st.vip, d)
+        # A corner is missing only when ADJACENT bonds accept in the SAME
+        # apply; red-black phases separate neighbors by parity, so
+        # lmiss/rmiss are identically False there and rb callers skip the
+        # whole block (skip_corners=True) — fresh rows are re-evaluated by
+        # the other phase's padded hunt fibers instead.
+        if skip_corners:
+            return _jacobi_reconstruct(st, upd, acol, arow, c_new, u_new,
+                                       itl, itt, one_hot_s, piv_safe,
+                                       pivotmax)
         lmiss = upd & jnp.concatenate([jnp.zeros((1,), bool), upd[:-1]])
         rmiss = upd & jnp.concatenate([upd[1:], jnp.zeros((1,), bool)])
         i_newL = (st.rk[:-2] - 1).astype(jnp.int32)            # new left link
         q_newR = (st.rk[2:] - 1).astype(jnp.int32)
         if ce is None:
+            LT2 = all_left_tables(st.vip, d)
+            RT2 = all_right_tables(st.vip, d)
             asm_cc = jax.vmap(lambda lt, rt, p, i0, kk, qq: assemble_indices(
                 lt, rt, p, jnp.full((N,), i0), iN, jnp.full((N,), kk),
                 jnp.full((N,), qq), d))
@@ -388,7 +397,7 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
             vals_c = fun(jnp.concatenate([ind_cc, ind_rc])
                          .reshape(-1, d)).reshape(2, nb, N)
         else:
-            Ls2, Rs2 = ce.states(LT2, RT2)
+            Ls2, Rs2 = ce.states_from_vip(st.vip)
             vals_c = jnp.stack([
                 ce.eval_corner_col(Ls2, Rs2, ps, i_newL, kk, qq, iN),
                 ce.eval_corner_row(Ls2, Rs2, ps, ii, jj, q_newR, iN)])
@@ -407,10 +416,21 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         ohr = (iR[None, :] == q_newR[:, None]) & rmiss[:, None]
         arow = jnp.where(ohr[:, None, :], corner_row[:, :, None], arow)
 
-        # ---------------- reconstruction phase A: raw fibers + LU slices
-        # slot-column write on cores[p] (p < nb) and slot-row write on
-        # cores[p+1] (p >= 1 region), as dense one-hot selects + static
-        # concat of the untouched boundary core
+        return _jacobi_reconstruct(st, upd, acol, arow, c_new, u_new,
+                                   itl, itt, one_hot_s, piv_safe, pivotmax)
+
+    def _jacobi_reconstruct(st: CrossState, upd, acol, arow, c_new,
+                            u_new, itl, itt, one_hot_s, piv_safe,
+                            pivotmax) -> CrossState:
+        """Reconstruction phases A/B shared by the corner and corner-free
+        (rb) apply paths: raw fiber + LU-slice writes, then factor borders
+        from the post-A factors."""
+        nb = d - 1
+        ps = jnp.arange(nb)
+
+        # phase A: raw fibers + LU slices — slot-column write on cores[p]
+        # (p < nb) and slot-row write on cores[p+1] (p >= 1 region), as
+        # dense one-hot selects + static concat of the untouched boundary
         def set_col(arr, body, mask):
             """arr[p, :, :, s_arr[p]] = body[p] where mask[p], p < nb."""
             m = (one_hot_s & mask[:, None])[:, None, None, :]
@@ -434,7 +454,7 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         upd_r = upd & (ps < d - 2)
         colf = set_row(st.colf, slc_r, upd_r)
 
-        # ---------------- phase B: factor borders from post-A factors
+        # phase B: factor borders from post-A factors
         colf_b2 = colf[:-1]
         approx = jnp.einsum("pinr,pr->pin", colf_b2, u_new)
         new_colf = (acol - approx) / piv_safe[:, None, None]
@@ -444,9 +464,8 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         new_rowf = arow - approx2
         rowf = set_row(rowf, new_rowf, upd)
 
-        st = st._replace(cores=cores, colf=colf, rowf=rowf,
-                         pivotmax_prev=pivotmax)
-        return st
+        return st._replace(cores=cores, colf=colf, rowf=rowf,
+                           pivotmax_prev=pivotmax)
 
     def _sweep_jacobi_body(st: CrossState, dir_fwd: bool, lw=None) -> CrossState:
         nb = d - 1
@@ -488,7 +507,7 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
             hunt, amax, neval, padded = jacobi_hunt(
                 st, U, dir_fwd, 0, nb, live, lw)
             st = st._replace(amax=amax, neval=neval, padded=padded)
-            st = jacobi_apply(st, hunt, live=live)
+            st = jacobi_apply(st, hunt, live=live, skip_corners=True)
             pms.append(st.pivotmax)
             pns.append(st.pivotmin)
         pm = jnp.maximum(pms[0], pms[1])          # -1 sentinel = no accept

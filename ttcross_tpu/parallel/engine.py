@@ -68,26 +68,28 @@ def _at(arr, c):
 
 
 def get_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
-                        mybonds=None):
+                        mybonds=None, chain=None):
     target = getattr(fun, "__self__", fun)
     mb = None if mybonds is None else tuple(int(x) for x in mybonds)
-    key = (id(target), getattr(fun, "__name__", None), cfg, id(mesh), mb)
+    key = (id(target), getattr(fun, "__name__", None), cfg, id(mesh), mb,
+           None if chain is None else id(chain))
     eng = _PAR_CACHE.get(key)
     if eng is None:
-        _PAR_PINS.append((target, mesh))
-        eng = _PAR_CACHE[key] = make_parallel_engine(fun, cfg, mesh, mybonds)
+        _PAR_PINS.append((target, mesh, chain))
+        eng = _PAR_CACHE[key] = make_parallel_engine(fun, cfg, mesh, mybonds,
+                                                     chain=chain)
     return eng
 
 
 def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
-                         mybonds=None):
+                         mybonds=None, chain=None):
     """Build the distributed runner.  Returns (init_fn, make_run_fn,
     gather_fn) where run/gather are shard_map'd over the mesh.
 
     mybonds: optional caller-provided slab boundaries (ndev+1,), replacing
     the block `share` distribution (the reference's `mybonds` argument,
     dmrgg.f90:22, 120-131)."""
-    kit: EngineKit = get_engine(fun, cfg)
+    kit: EngineKit = get_engine(fun, cfg, chain=chain)
     d, N, R = cfg.d, cfg.N, cfg.R
     ndev = mesh.devices.size
     if mybonds is None:
@@ -330,6 +332,38 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         U = jax.random.uniform(sub, (max_cnt, 2, NLOT), jnp.float64)
         st = st._replace(key=key)
 
+        if getattr(cfg, "rb", False):
+            # red-black phases on the mesh: each phase hunts only its
+            # parity's live window rows, psum-merges, and every device
+            # runs the parity-gated replicated apply — phase 2 sees
+            # phase 1's factors fresh, exactly like the single-device rb
+            # (cross/engine_jacobi.py::_rb_phases)
+            pm_prev = st.pivotmax_prev
+            pms, pns = [], []
+            for par in (0, 1):
+                st = st._replace(pivotmax_prev=pm_prev)
+                gpar = (jnp.arange(nb) % 2) == par
+                st = _jac_phase(st, it, U, base, live & ((idxs % 2) == par),
+                                own_lo, own_hi, gpar)
+                pms.append(st.pivotmax)
+                pns.append(st.pivotmin)
+            pm = jnp.maximum(pms[0], pms[1])
+            pn = jnp.where(pns[0] < 0, pns[1],
+                           jnp.where(pns[1] < 0, pns[0],
+                                     jnp.minimum(pns[0], pns[1])))
+            st = st._replace(pivotmax=pm, pivotmin=pn, pivotmax_prev=pm)
+            return _scalar_fold(st)
+        st = _jac_phase(st, it, U, base, live, own_lo, own_hi, None)
+        return _scalar_fold(st)
+
+    def _jac_phase(st: CrossState, it, U, base, live, own_lo, own_hi,
+                   live_global):
+        """One hunt + psum-merge + replicated apply over the given live
+        window rows; live_global optionally parity-gates the global
+        acceptance (rb phases)."""
+        nb = d - 1
+        me = jax.lax.axis_index(BOND_AXIS)
+
         hunt, amax_l, neval_l, padded_l = jax.lax.cond(
             (it % 2) == 1,
             lambda a: kit.jacobi_hunt(a[0], a[1], True, a[2], max_cnt, a[3]),
@@ -368,8 +402,9 @@ def make_parallel_engine(fun: Callable, cfg: CrossConfig, mesh: Mesh,
         amax_g = jnp.max(TP[nb, :ndev])
         st = st._replace(amax=amax_g, neval=neval_l, padded=padded_l)
         corner_count = (jnp.arange(nb) >= own_lo) & (jnp.arange(nb) < own_hi)
-        st = kit.jacobi_apply(st, hunt_full, corner_count)
-        return _scalar_fold(st)
+        st = kit.jacobi_apply(st, hunt_full, corner_count, live=live_global,
+                              skip_corners=live_global is not None)
+        return st
 
     def pvalue(st: CrossState, w, own_lo, own_hi):
         """Distributed quadrature value: per-device chain product over its
@@ -509,6 +544,7 @@ def cross_parallel(
     sweep_mode: str = "sequential",
     refine_sweeps: int = 0,
     adaptive: float | bool = 0.0,
+    chain=None,
 ) -> CrossResult:
     """Distributed TT-cross over a 1-D bond mesh (the `mpirun -np N` path of
     the reference, dmrgg.f90 dimension-parallel mode).  Same contract as
@@ -529,13 +565,13 @@ def cross_parallel(
     consistently."""
     n = tuple(int(x) for x in n)
     d = len(n)
-    if sweep_mode not in ("sequential", "jacobi"):
+    if sweep_mode not in ("sequential", "jacobi", "jacobi-rb"):
         raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
     adaptive = 4096.0 if adaptive is True else float(adaptive)
     if adaptive > 0:
         if int(pivoting) < 0:
             raise ValueError("adaptive gating requires pivoting >= 0")
-        if sweep_mode == "jacobi":
+        if sweep_mode.startswith("jacobi"):
             raise ValueError("adaptive gating applies to sequential sweeps")
     if oversample:
         # refine_sweeps composes like the single-device path: cross at
@@ -545,7 +581,7 @@ def cross_parallel(
                              truth=truth, key=key, dtype=dtype, mesh=mesh,
                              verbose=verbose, mybonds=mybonds,
                              sweep_mode=sweep_mode, adaptive=adaptive,
-                             refine_sweeps=refine_sweeps)
+                             refine_sweeps=refine_sweeps, chain=chain)
         from ..cross.engine import round_and_revalue
 
         return round_and_revalue(res, max_rank, quad, truth)
@@ -554,8 +590,10 @@ def cross_parallel(
     se, sp = precision_thresholds(dtype)
     cfg = CrossConfig(d=d, n=n, N=max(n), R=max_rank, piv=int(pivoting),
                       small_element=se, small_pivot=sp,
-                      jacobi=sweep_mode == "jacobi", adaptive=adaptive)
-    kit, make_run_fn = get_parallel_engine(fun, cfg, mesh, mybonds)
+                      jacobi=sweep_mode.startswith("jacobi"),
+                      rb=sweep_mode == "jacobi-rb", adaptive=adaptive)
+    kit, make_run_fn = get_parallel_engine(fun, cfg, mesh, mybonds,
+                                           chain=chain)
 
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
