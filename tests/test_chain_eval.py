@@ -110,6 +110,26 @@ def test_states_scan_matches_tables(prob):
                                    rtol=1e-12, atol=1e-14)
 
 
+def test_packed_hs_scan_matches_tables(prob):
+    """ChainEvaluator.states_from_vip (packed Hillis-Steele operator
+    scan — the hot path) equals the packed table route states() on
+    random vip chains."""
+    d, n = prob.d, prob.n
+    R, nb = 6, d - 1
+    rng = np.random.default_rng(7)
+    vip = rng.integers(0, n, size=(nb, R, 4)).astype(np.int32)
+    vip[:, :, 0] %= R
+    vip[:, :, 3] %= R
+    vip = jnp.asarray(vip)
+    ev = ChainEvaluator(prob.chain, d)
+    Ls1, Rs1 = ev.states(all_left_tables(vip, d), all_right_tables(vip, d))
+    Ls2, Rs2 = ev.states_from_vip(vip)
+    np.testing.assert_allclose(np.asarray(Ls2), np.asarray(Ls1),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(Rs2), np.asarray(Rs1),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_jacobi_chain_matches_plain():
     p = make_ising("C", m=16, n=17)
     args = dict(max_rank=6, accuracy=ACC, pivoting=1,

@@ -211,28 +211,113 @@ class ChainEvaluator:
     """Hunt-candidate evaluators bound to one ChainSpec.
 
     Built once per engine; all methods are traceable and windowable:
-    state pytrees carry a leading bond axis that callers slice to their
-    window (the distributed jacobi path slices to its slab)."""
+    states carry a leading bond axis that callers slice to their window
+    (the distributed jacobi path slices to its slab).
+
+    Internal representation: states are PACKED — the K state leaves
+    stacked on a trailing axis, (nb, R, K) — so every link gather is ONE
+    take_along_axis on the packed array instead of K per-leaf gathers,
+    and the prefix scan is a log2(d)-level Hillis-Steele recursive
+    doubling (half the levels of associative_scan's up+down sweeps).
+    The sweep is kernel-LAUNCH bound on this TPU (~1300 fused kernels =
+    ~22 ms device at C_256, measured 2026-08-20; per-kernel work is a
+    few µs of VPU math), so op count — not FLOPs — is the target.
+    States returned by states()/states_from_vip() are opaque to callers
+    and only valid as inputs to this evaluator's eval_* methods."""
 
     def __init__(self, spec: ChainSpec, d: int):
         self.spec = spec
         self.d = d
         self.fun = chain_fun(spec, d)
+        leaves, self._treedef = jax.tree_util.tree_flatten(spec.identity())
+        self._K = len(leaves)
+        self._ident = leaves
+
+    def _pack(self, states):
+        leaves = jax.tree_util.tree_flatten(states)[0]
+        shp = jnp.broadcast_shapes(*[jnp.shape(x) for x in leaves])
+        return jnp.stack([jnp.broadcast_to(x, shp) for x in leaves],
+                         axis=-1)
+
+    def _unpack(self, arr):
+        return jax.tree_util.tree_unflatten(
+            self._treedef, [arr[..., i] for i in range(self._K)])
 
     def states(self, LT, RT):
-        return interface_states(self.spec, LT, RT, self.d)
+        Ls, Rs = interface_states(self.spec, LT, RT, self.d)
+        return self._pack(Ls), self._pack(Rs)
 
     def states_from_vip(self, vip):
-        """Interface states straight from the vip chains (the hot path:
-        no index tables materialized — see interface_states_scan)."""
-        return interface_states_scan(self.spec, vip, self.d)
+        """Packed interface states straight from the vip chains (the hot
+        path: no index tables, no per-leaf gathers).  Semantics match
+        interface_states_scan (tested); only the association order of
+        the merges differs (rounding-order)."""
+        sp = self.spec
+        nb = self.d - 1
+        R = vip.shape[1]
+        ps = jnp.arange(nb)
+        ft = jnp.result_type(float)
+        identE = jnp.asarray(self._ident, ft)              # (K,)
+        iR = jnp.arange(R, dtype=jnp.int32)
+
+        def hs_scan(g, e, reverse: bool):
+            """Hillis-Steele inclusive composition scan of (link-gather,
+            payload) operators along axis 0.  compose(earlier, later) =
+            (g_e[g_l], merge(e_e[g_l], e_l)) for the left/prefix scan;
+            the reverse/suffix scan composes (later, earlier) =
+            (h_l[h_e], merge(f_e, f_l[h_e])).  Shift-in rows are the
+            identity operator (iR gather + identity payload), which
+            composes as a no-op — no select needed."""
+            n = g.shape[0]
+            shift = 1
+            while shift < n:
+                gI = jnp.broadcast_to(iR, (shift, R))
+                eI = jnp.broadcast_to(identE, (shift, R, self._K))
+                if not reverse:
+                    ga = jnp.concatenate([gI, g[:-shift]])      # earlier op
+                    ea = jnp.concatenate([eI, e[:-shift]])
+                    gb, eb = g, e
+                else:
+                    ga = jnp.concatenate([g[shift:], gI])       # later op
+                    ea = jnp.concatenate([e[shift:], eI])
+                    gb, eb = g, e
+                g = jnp.take_along_axis(ga, gb, axis=-1)
+                eg = jnp.take_along_axis(ea, gb[..., None], axis=-2)
+                if not reverse:
+                    m = sp.merge(self._unpack(eg), self._unpack(eb))
+                else:
+                    m = sp.merge(self._unpack(eb), self._unpack(eg))
+                e = self._pack(m)
+                shift *= 2
+            return e
+
+        gL = vip[:, :, 0].astype(jnp.int32)
+        eL = self._pack(sp.lift(ps[:, None], vip[:, :, 1]))
+        eL = jnp.broadcast_to(eL.astype(ft), (nb, R, self._K))
+        eP = hs_scan(gL, eL, reverse=False)
+        identRow = jnp.broadcast_to(identE, (1, R, self._K))
+        Ls = jnp.concatenate([identRow, eP[:-1]])
+
+        hR = vip[:, :, 3].astype(jnp.int32)
+        fR = self._pack(sp.lift(ps[:, None] + 1, vip[:, :, 2]))
+        fR = jnp.broadcast_to(fR.astype(ft), (nb, R, self._K))
+        fS = hs_scan(hR, fR, reverse=True)
+        Rs = jnp.concatenate([fS[1:], identRow])
+        return Ls, Rs
+
+    def _take(self, Sp, idx):
+        """ONE gather on the packed states: Sp (mc, R, K) + idx (mc, B)
+        -> unpacked leaves (mc, B)."""
+        return self._unpack(
+            jnp.take_along_axis(Sp, idx[:, :, None], axis=1))
 
     def eval_cand(self, Lw, Rw, psw, i, j, k, q):
         """Candidates (i, j, k, q) (mc, B) at window bonds psw (mc,)
-        -> values (mc, B).  Lw/Rw: window-sliced states, leaves (mc, R)."""
+        -> values (mc, B).  Lw/Rw: window-sliced packed states
+        (mc, R, K)."""
         sp = self.spec
-        Li = _take_state(Lw, i)
-        Rq = _take_state(Rw, q)
+        Li = self._take(Lw, i)
+        Rq = self._take(Rw, q)
         lj = sp.lift(psw[:, None], j)
         lk = sp.lift(psw[:, None] + 1, k)
         return sp.finalize(sp.merge(sp.merge(Li, lj), sp.merge(lk, Rq)))
@@ -242,11 +327,12 @@ class ChainEvaluator:
         window bond -> (mc, R, N)."""
         sp = self.spec
         L2 = sp.merge(
-            jax.tree_util.tree_map(lambda a: a[:, :, None], Lw),
+            jax.tree_util.tree_map(lambda a: a[:, :, None],
+                                   self._unpack(Lw)),
             jax.tree_util.tree_map(lambda a: a[:, None, :],
                                    sp.lift(psw[:, None], iN[None, :])))
         Rfix = sp.merge(sp.lift((psw + 1)[:, None], kk[:, None]),
-                        _take_state(Rw, qq[:, None]))        # (mc, 1)
+                        self._take(Rw, qq[:, None]))         # (mc, 1)
         return sp.finalize(sp.merge(
             L2, jax.tree_util.tree_map(lambda a: a[:, :, None], Rfix)))
 
@@ -254,13 +340,14 @@ class ChainEvaluator:
         """Row fibers: all (k, q) over (N, R) at fixed (ii, jj) per
         window bond -> (mc, N, R)."""
         sp = self.spec
-        Lfix = sp.merge(_take_state(Lw, ii[:, None]),
+        Lfix = sp.merge(self._take(Lw, ii[:, None]),
                         sp.lift(psw[:, None], jj[:, None]))  # (mc, 1)
         R2 = sp.merge(
             jax.tree_util.tree_map(
                 lambda a: a[:, :, None],
                 sp.lift(psw[:, None] + 1, iN[None, :])),     # (mc, N, 1)
-            jax.tree_util.tree_map(lambda a: a[:, None, :], Rw))
+            jax.tree_util.tree_map(lambda a: a[:, None, :],
+                                   self._unpack(Rw)))
         return sp.finalize(sp.merge(
             jax.tree_util.tree_map(lambda a: a[:, None, :], Lfix), R2))
 
@@ -268,18 +355,18 @@ class ChainEvaluator:
         """Corner column fibers (nb, N): mode j varies at fixed
         (i0, kk, qq) per bond (the jacobi corner repair batch)."""
         sp = self.spec
-        Li = _take_state(Ls, i0[:, None])                    # (nb, 1)
+        Li = self._take(Ls, i0[:, None])                     # (nb, 1)
         lj = sp.lift(ps[:, None], iN[None, :])               # (nb, N)
         Rfix = sp.merge(sp.lift((ps + 1)[:, None], kk[:, None]),
-                        _take_state(Rs, qq[:, None]))        # (nb, 1)
+                        self._take(Rs, qq[:, None]))         # (nb, 1)
         return sp.finalize(sp.merge(sp.merge(Li, lj), Rfix))
 
     def eval_corner_row(self, Ls, Rs, ps, ii, jj, q0, iN):
         """Corner row fibers (nb, N): mode k varies at fixed
         (ii, jj, q0) per bond."""
         sp = self.spec
-        Lfix = sp.merge(_take_state(Ls, ii[:, None]),
+        Lfix = sp.merge(self._take(Ls, ii[:, None]),
                         sp.lift(ps[:, None], jj[:, None]))   # (nb, 1)
         lk = sp.lift(ps[:, None] + 1, iN[None, :])           # (nb, N)
-        Rq = _take_state(Rs, q0[:, None])
+        Rq = self._take(Rs, q0[:, None])
         return sp.finalize(sp.merge(Lfix, sp.merge(lk, Rq)))
