@@ -305,6 +305,47 @@ class ChainEvaluator:
         Rs = jnp.concatenate([fS[1:], identRow])
         return Ls, Rs
 
+    def update_states(self, Ls, Rs, ii, jj, kk, qq, upd, slots):
+        """Append the accepted pivots' interface-state rows in O(1).
+
+        vip is APPEND-ONLY (dmrgg.f90:602-660: accepted pivots extend the
+        chains, existing entries never change), so the per-hunt
+        states_from_vip scan rebuild is redundant in steady state: every
+        existing row of Ls/Rs stays valid, only the new slot row of each
+        accepting bond's neighbors is missing.  This computes exactly
+        those rows — one gather + one merge per side, batched over bonds
+        — and writes them with shifted one-hot selects:
+
+          Ls[p+1][s_p] = merge(Ls[p][i_p],  lift(p,   j_p))   (prefix)
+          Rs[p-1][s_p] = merge(lift(p+1, k_p), Rs[p][q_p])    (suffix)
+
+        Ls/Rs: packed (nb, R, K).  ii/jj/kk/qq, upd, slots: (nb,) accept
+        rows (slots = the pre-increment rk[p+1], i.e. the written slot).
+        The association order equals the left/right fold of the chain
+        walk — the plain dmrgg_fun order (dmrgg.f90:1053-1078)."""
+        sp = self.spec
+        nb = self.d - 1
+        ps = jnp.arange(nb)
+        R = Ls.shape[1]
+        K = self._K
+        iR = jnp.arange(R)
+        Li = self._unpack(
+            jnp.take_along_axis(Ls, ii[:, None, None], axis=1)[:, 0])
+        newL = self._pack(sp.merge(Li, sp.lift(ps, jj))).astype(Ls.dtype)
+        Rq = self._unpack(
+            jnp.take_along_axis(Rs, qq[:, None, None], axis=1)[:, 0])
+        newR = self._pack(sp.merge(sp.lift(ps + 1, kk), Rq)).astype(Rs.dtype)
+        oh = (iR[None, :] == slots[:, None]) & upd[:, None]      # (nb, R)
+        zR = jnp.zeros((1, R), bool)
+        zK = jnp.zeros((1, K), Ls.dtype)
+        ohL = jnp.concatenate([zR, oh[:-1]])
+        nL = jnp.concatenate([zK, newL[:-1]])
+        Ls = jnp.where(ohL[:, :, None], nL[:, None, :], Ls)
+        ohR = jnp.concatenate([oh[1:], zR])
+        nR = jnp.concatenate([newR[1:], zK])
+        Rs = jnp.where(ohR[:, :, None], nR[:, None, :], Rs)
+        return Ls, Rs
+
     def _take(self, Sp, idx):
         """ONE gather on the packed states: Sp (mc, R, K) + idx (mc, B)
         -> unpacked leaves (mc, B)."""

@@ -398,26 +398,33 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
         smask = iR < st.rk[p + 1]
         used_col = jnp.zeros((R * N,), bool).at[vb[:, 0] * N + vb[:, 1]].max(smask)
         used_row = jnp.zeros((N * R,), bool).at[vb[:, 3] * N + vb[:, 2]].max(smask)
-        wcol = (colmask & ~used_col).astype(jnp.float64)
-        wrow = (rowmask & ~used_row).astype(jnp.float64)
+        f32 = jnp.float32
+        wcol = (colmask & ~used_col).astype(f32)
+        wrow = (rowmask & ~used_row).astype(f32)
         if cfg.wlot and lw is not None:
-            wcol = wcol * jnp.tile(jnp.abs(_at(lw, p)), R)
-            wrow = wrow * jnp.tile(jnp.abs(_at(lw, p + 1)), R)
-        # draw over the allowed sets via cumsum + searchsorted (inverse
-        # CDF); with unit weights (the reference's default 0/1 lottery,
-        # dmrgg.f90:424-439) this is a uniform draw without the ~R*N f64
-        # Gumbel transcendentals per candidate
-        cdf_c = jnp.cumsum(wcol)
-        cdf_r = jnp.cumsum(wrow)
+            wcol = wcol * jnp.tile(jnp.abs(_at(lw, p)), R).astype(f32)
+            wrow = wrow * jnp.tile(jnp.abs(_at(lw, p + 1)), R).astype(f32)
+        # draw over the allowed sets via inverse CDF; with unit weights
+        # (the reference's default 0/1 lottery, dmrgg.f90:424-439) this is
+        # a uniform draw without the ~R*N f64 Gumbel transcendentals per
+        # candidate.  The CDF is f32 via a triangular-ones MXU matmul:
+        # jnp.cumsum lowers to a SERIAL while loop on this TPU (~10 us
+        # per element in dynamic-update-slices), and sampling needs no f64
+        # (f32 sums are exact for the 0/1 masks up to 2^24).
+        tri = jnp.triu(jnp.ones((R * N, R * N), f32))   # [j <= i]
+        cdf_c = wcol @ tri
+        cdf_r = wrow @ tri
         # clamp t strictly below cdf[-1]: u ~ 1 can round t up to exactly
         # cdf[-1], where side='right' would step past the LAST ALLOWED
-        # candidate into the masked padding region.  (1 - 4 ulp) multiply
+        # candidate into the masked padding region.  (1 - 2^-20) multiply
         # instead of nextafter — nextafter needs an s64 bitcast that the
         # TPU x64 rewrite does not implement.
-        below = 1.0 - 2.0 ** -50
-        t_c = jnp.minimum(u2[0] * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0),
+        below = f32(1.0 - 2.0 ** -20)
+        t_c = jnp.minimum(u2[0].astype(f32)
+                          * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0),
                           cdf_c[-1] * below)
-        t_r = jnp.minimum(u2[1] * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
+        t_r = jnp.minimum(u2[1].astype(f32)
+                          * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
                           cdf_r[-1] * below)
         # method="compare_all": one broadcast compare + row-sum instead of
         # the default 'scan' binary search (log2(R*N) SERIAL gather rounds
@@ -856,19 +863,21 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
             jnp.minimum(vb[:, 0], Rl - 1) * N + vb[:, 1]].max(smask)
         used_row = jnp.zeros((Rr * N,), bool).at[
             jnp.minimum(vb[:, 3], Rr - 1) * N + vb[:, 2]].max(smask)
-        wcol = (colmask & ~used_col).astype(jnp.float64)
-        wrow = (rowmask & ~used_row).astype(jnp.float64)
+        f32 = jnp.float32
+        wcol = (colmask & ~used_col).astype(f32)
+        wrow = (rowmask & ~used_row).astype(f32)
         if cfg.wlot and lw is not None:
             # arbitrary-weights lottery (rnd.f90:105-126): same layout as
             # _hunt_lottery — lin_c = i*N + j weights mode p, lin_r =
             # q*N + k weights mode p+1
-            wcol = wcol * jnp.tile(jnp.abs(_at(lw, p)), Rl)
-            wrow = wrow * jnp.tile(jnp.abs(_at(lw, p + 1)), Rr)
-        cdf_c = jnp.cumsum(wcol)
-        cdf_r = jnp.cumsum(wrow)
-        below = 1.0 - 2.0 ** -50
-        u2c = u2[0, :NLOTp]
-        u2r = u2[1, :NLOTp]
+            wcol = wcol * jnp.tile(jnp.abs(_at(lw, p)), Rl).astype(f32)
+            wrow = wrow * jnp.tile(jnp.abs(_at(lw, p + 1)), Rr).astype(f32)
+        # f32 CDFs via triangular-ones MXU matmuls (see _hunt_lottery)
+        cdf_c = wcol @ jnp.triu(jnp.ones((Rl * N, Rl * N), f32))
+        cdf_r = wrow @ jnp.triu(jnp.ones((Rr * N, Rr * N), f32))
+        below = f32(1.0 - 2.0 ** -20)
+        u2c = u2[0, :NLOTp].astype(f32)
+        u2r = u2[1, :NLOTp].astype(f32)
         t_c = jnp.minimum(u2c * jnp.where(cdf_c[-1] > 0, cdf_c[-1], 1.0),
                           cdf_c[-1] * below)
         t_r = jnp.minimum(u2r * jnp.where(cdf_r[-1] > 0, cdf_r[-1], 1.0),
@@ -1037,12 +1046,15 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
         _sweep_jac = {True: make_sweep_jacobi(True),
                       False: make_sweep_jacobi(False)}
 
-    def sweep_jacobi_inner(st: CrossState, it, lw=None) -> CrossState:
+    def sweep_jacobi_inner(st: CrossState, it, lw=None, cs=None):
         """Jacobi sweep with the usual direction alternation: ONE cond per
-        sweep selecting the static forward/backward pass order."""
+        sweep selecting the static forward/backward pass order.  cs:
+        optional carried packed interface states (chain path); when given
+        the return is (st, cs')."""
         dir_fwd = (it % 2) == 1
+        args = (st, lw) if cs is None else (st, lw, cs)
         return jax.lax.cond(dir_fwd, _sweep_jac[True], _sweep_jac[False],
-                            (st, lw))
+                            args)
 
     if cfg.caps is not None:
         sweep_impl = sweep_capped_inner
@@ -1065,13 +1077,17 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
         """All d LU-solved contraction matrices of value_mat, batched:
         mats[c] = value_mat(st, w, c), with the c-1 / c clamps rendered as
         contiguous shifts (no gathers — element-serial on this TPU)."""
+        # broadcast-multiply + reduce-sum, NOT einsum: batched f64
+        # dot_general lowers to a serial while loop on this platform's
+        # pair-emulated f64 (engine_jacobi.jacobi_apply note, traced
+        # 2026-08-21); the product+reduce fuses into plain VPU kernels
         cidx = jnp.arange(d)
-        curr = jnp.einsum("cinj,cn->cij", st.cores, w)            # (d, R, R)
+        curr = jnp.sum(st.cores * w[:, None, :, None], axis=2)    # (d, R, R)
         itl_prev = jnp.concatenate([st.itl[:1], st.itl], axis=0)  # (d, R, R)
-        solved_r = jnp.einsum("cab,cbj->caj", itl_prev, curr)
+        solved_r = jnp.sum(itl_prev[:, :, :, None] * curr[:, None], axis=2)
         curr = jnp.where((cidx > 0)[:, None, None], solved_r, curr)
         itt_c = jnp.concatenate([st.itt, st.itt[-1:]], axis=0)
-        solved_c = jnp.einsum("cib,cbk->cik", curr, itt_c)
+        solved_c = jnp.sum(curr[:, :, :, None] * itt_c[:, None], axis=2)
         return jnp.where((cidx < d - 1)[:, None, None], solved_c, curr)
 
     @jax.jit
@@ -1121,6 +1137,14 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
         counter drives the sweep direction alternation and the quiet-sweep
         strike carries across rank-padding chunks (cross(rank_chunks=...))."""
 
+        # chain+jacobi: carry the packed interface states through the
+        # run loop — built ONCE here by scan, then maintained
+        # incrementally by update_states after every apply (vip is
+        # append-only, so existing rows never go stale; the 4 per-sweep
+        # Hillis-Steele rebuild scans were ~5 ms of the ~14 ms C_256
+        # device sweep, measured 2026-08-21)
+        use_cs = cfg.jacobi and (chain_ev is not None) and cfg.caps is None
+
         @jax.jit
         def run_fn(st: CrossState, w, it0=jnp.asarray(1, jnp.int32),
                    strike0=jnp.asarray(0, jnp.int32)):
@@ -1130,14 +1154,20 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
             nev0 = jnp.zeros((max_sweeps + 1,), jnp.int64)
             if with_quad:
                 vals0 = vals0.at[0].set(value_fn(st, w))
+            cs0 = (chain_ev.states_from_vip(st.vip) if use_cs
+                   else jnp.zeros((), jnp.int32))
 
             def cond(carry):
-                st, t, strike, vals, pmax, nev, done = carry
+                st, cs, t, strike, vals, pmax, nev, done = carry
                 return ~done
 
             def body(carry):
-                st, t, strike, vals, pmax, nev, done = carry
-                st = sweep_impl(st, it0 + t - 1, w if cfg.wlot else None)
+                st, cs, t, strike, vals, pmax, nev, done = carry
+                lwarg = w if cfg.wlot else None
+                if use_cs:
+                    st, cs = sweep_impl(st, it0 + t - 1, lwarg, cs)
+                else:
+                    st = sweep_impl(st, it0 + t - 1, lwarg)
                 if with_quad:
                     vals = vals.at[t].set(value_fn(st, w))
                 pmax = pmax.at[t].set(st.pivotmax)
@@ -1147,11 +1177,12 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
                     quiet = st.pivotmax <= accuracy * st.amax
                     strike = jnp.where(quiet, strike + 1, 0)
                     ready = ready | (strike >= 3)
-                return (st, t + 1, strike, vals, pmax, nev, ready)
+                return (st, cs, t + 1, strike, vals, pmax, nev, ready)
 
-            init = (st, jnp.asarray(1, jnp.int32), strike0,
+            init = (st, cs0, jnp.asarray(1, jnp.int32), strike0,
                     vals0, pmax0, nev0, jnp.asarray(max_sweeps < 1))
-            st, t, strike, vals, pmax, nev, _ = jax.lax.while_loop(cond, body, init)
+            st, _, t, strike, vals, pmax, nev, _ = jax.lax.while_loop(
+                cond, body, init)
             return st, t - 1, vals, pmax, nev, strike
 
         return run_fn
@@ -1199,6 +1230,10 @@ def make_engine(fun: Callable, cfg: CrossConfig, chain=None):
         The per-core solves are independent, so the former d-step
         fori_loop (255 serial iterations at C_256) is two batched
         einsums with the boundary clamps as contiguous shifts."""
+        # einsum (not the faster sum-form): the solved cores ARE the
+        # returned train, so they get the dot_general lowering's more
+        # accurate pair products (engine_jacobi.jacobi_apply note); this
+        # runs once per cross, ~2.6 ms total at C_256
         cidx = jnp.arange(d)
         itl_prev = jnp.concatenate([st.itl[:1], st.itl], axis=0)  # (d, R, R)
         solved = jnp.einsum("cab,cbnj->canj", itl_prev, st.cores)

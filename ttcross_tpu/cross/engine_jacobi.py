@@ -64,13 +64,16 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
             raise NotImplementedError("jacobi mode supports pivoting >= 0")
 
         def sweep(args):
+            if len(args) == 3:
+                st, lw, cs = args
+                return _sweep_jacobi_body(st, fwd, lw, cs)
             st, lw = args
             return _sweep_jacobi_body(st, fwd, lw)
 
         return sweep
 
     def jacobi_hunt(st: CrossState, U, dir_fwd: bool, base, mc: int,
-                    live, lw=None):
+                    live, lw=None, cs=None):
         """Batched lottery + rook hunt over the mc-bond window starting at
         bond `base` (traced; clamped by the caller so base+mc <= d-1).
         live (mc,) masks window rows outside the caller's slab — a dead
@@ -90,9 +93,11 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
             LT = win(all_left_tables(st.vip, d))   # (mc, R, d)
             RT = win(all_right_tables(st.vip, d))
         else:
-            # interface states once per hunt, straight from the vip
-            # chains (no index tables on the chain path) — window-sliced
-            Lsf, Rsf = ce.states_from_vip(st.vip)
+            # interface states, window-sliced.  cs (carried, maintained
+            # incrementally by ChainEvaluator.update_states after each
+            # apply) skips the per-hunt scan rebuild; cs=None falls back
+            # to building them from the vip chains here.
+            Lsf, Rsf = cs if cs is not None else ce.states_from_vip(st.vip)
             Lw = jax.tree_util.tree_map(win, Lsf)
             Rw = jax.tree_util.tree_map(win, Rsf)
         rk = st.rk
@@ -123,20 +128,30 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
                             == linRN[None, None, :]) & smask[:, :, None], 1)
         used_row = jnp.any(((vb[:, :, 3] * N + vb[:, :, 2])[:, :, None]
                             == linRN[None, None, :]) & smask[:, :, None], 1)
-        wcol = (cmask.reshape(mc, R * N) & ~used_col).astype(jnp.float64)
+        # lottery CDFs in f32 via a triangular-ones MXU matmul: jnp.cumsum
+        # on (mc, R*N) f64 lowers to a SERIAL while loop on this TPU (one
+        # dynamic-update-slice + compare per element — measured 2026-08-21
+        # as ~13 ms of the ~20 ms C_256 rb sweep, 4 cumsums x 170 steps).
+        # The CDF only drives candidate SAMPLING, so f32 sums (exact for
+        # the 0/1 masks up to 2^24) are more than enough.
+        f32 = jnp.float32
+        wcol = (cmask.reshape(mc, R * N) & ~used_col).astype(f32)
         wrow = (rmask2.transpose(0, 2, 1).reshape(mc, R * N)
-                & ~used_row).astype(jnp.float64)
+                & ~used_row).astype(f32)
         if cfg.wlot and lw is not None:
-            wcol = wcol * jnp.tile(jnp.abs(win(lw)), (1, R))
-            wrow = wrow * jnp.tile(jnp.abs(win(lw, 1)), (1, R))
-        cdf_c = jnp.cumsum(wcol, axis=1)
-        cdf_r = jnp.cumsum(wrow, axis=1)
-        below = 1.0 - 2.0 ** -50
+            wcol = wcol * jnp.tile(jnp.abs(win(lw)), (1, R)).astype(f32)
+            wrow = wrow * jnp.tile(jnp.abs(win(lw, 1)), (1, R)).astype(f32)
+        tri = jnp.triu(jnp.ones((R * N, R * N), f32))   # [j <= i]
+        cdf_c = wcol @ tri
+        cdf_r = wrow @ tri
+        below = f32(1.0 - 2.0 ** -20)
         tot_c = cdf_c[:, -1:]
         tot_r = cdf_r[:, -1:]
-        t_c = jnp.minimum(U[:, 0, :] * jnp.where(tot_c > 0, tot_c, 1.0),
+        t_c = jnp.minimum(U[:, 0, :].astype(f32)
+                          * jnp.where(tot_c > 0, tot_c, 1.0),
                           tot_c * below)
-        t_r = jnp.minimum(U[:, 1, :] * jnp.where(tot_r > 0, tot_r, 1.0),
+        t_r = jnp.minimum(U[:, 1, :].astype(f32)
+                          * jnp.where(tot_r > 0, tot_r, 1.0),
                           tot_r * below)
         ssr = jax.vmap(lambda a, v: jnp.searchsorted(
             a, v, side="right", method="compare_all"))
@@ -197,6 +212,15 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
             return jnp.maximum(x, y)
 
         def unified_pass_all(c, is_col: bool):
+            # Residual SCORING (the argmax over the fiber residual) runs
+            # in f32: f64 is emulated on this platform's f32 hardware, so
+            # the (mc, R, N)-sized score einsum is ~4-8x dearer in f64 —
+            # and pivot SELECTION only needs to rank candidates (the
+            # reference's idamax makes no precision promise either).  The
+            # selected pivot VALUE is recomputed exactly in f64 below (one
+            # masked dot per bond) — acceptance thresholds, factor borders
+            # and the growing LU never see f32.
+            f32 = jnp.float32
             live = ~c["done"]                                  # (mc,)
             crs = c["crs"] + 1
             if is_col:
@@ -210,9 +234,9 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
                 dnev = jnp.sum(jnp.where(live, rk_l * n_l, 0)).astype(jnp.int64)
                 u = batched_row_lookup(
                     rowf_perm, c["qq"] * N + c["kk"]) * rmask_b  # (mc, R)
-                bcol = acol - jnp.einsum("pinr,pr->pin",
-                                         colf_b * rmask_b[:, None, None, :], u)
-                sc = jnp.where(cmask, jnp.abs(bcol), -1.0)
+                bcol_s = acol.astype(f32) - jnp.einsum(
+                    "pinr,pr->pin", colf_b.astype(f32), u.astype(f32))
+                sc = jnp.where(cmask, jnp.abs(bcol_s), -1.0)
                 i2 = jnp.argmax(jnp.max(sc, axis=2), axis=1)
                 j2 = jnp.argmax(jnp.take_along_axis(
                     sc, i2[:, None, None], axis=1)[:, 0, :], axis=1)
@@ -220,8 +244,11 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
                 budget = haverow & (crs >= 2 * cfg.piv)
                 stat = haverow & (i2 == c["ii"]) & (j2 == c["jj"])
                 upd = ~budget
-                pv = jnp.take_along_axis(bcol.reshape(mc, -1),
-                                         (i2 * N + j2)[:, None], 1)[:, 0]
+                lin2 = i2 * N + j2
+                a_sel = jnp.take_along_axis(acol.reshape(mc, -1),
+                                            lin2[:, None], 1)[:, 0]
+                c_sel = batched_row_lookup(colf_flat, lin2) * rmask_b
+                pv = a_sel - jnp.sum(c_sel * u, axis=1)        # exact f64
                 new = dict(
                     ii=jnp.where(upd, i2, c["ii"]),
                     jj=jnp.where(upd, j2, c["jj"]),
@@ -239,8 +266,9 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
                 dnev = jnp.sum(jnp.where(live, n_r * rk_r, 0)).astype(jnp.int64)
                 cw = batched_row_lookup(
                     colf_flat, c["ii"] * N + c["jj"]) * rmask_b
-                brow = arow - jnp.einsum("pr,prnq->pnq", cw, rowf_b)
-                sr = jnp.where(rmask2, jnp.abs(brow), -1.0)
+                brow_s = arow.astype(f32) - jnp.einsum(
+                    "pr,prnq->pnq", cw.astype(f32), rowf_b.astype(f32))
+                sr = jnp.where(rmask2, jnp.abs(brow_s), -1.0)
                 k2 = jnp.argmax(jnp.max(sr, axis=2), axis=1)
                 q2 = jnp.argmax(jnp.take_along_axis(
                     sr, k2[:, None, None], axis=1)[:, 0, :], axis=1)
@@ -248,8 +276,10 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
                 budget = havecol & (crs >= 2 * cfg.piv)
                 stat = havecol & (k2 == c["kk"]) & (q2 == c["qq"])
                 upd = ~budget
-                pv = jnp.take_along_axis(brow.reshape(mc, -1),
-                                         (k2 * R + q2)[:, None], 1)[:, 0]
+                a_sel = jnp.take_along_axis(arow.reshape(mc, -1),
+                                            (k2 * R + q2)[:, None], 1)[:, 0]
+                r_sel = batched_row_lookup(rowf_perm, q2 * N + k2) * rmask_b
+                pv = a_sel - jnp.sum(cw * r_sel, axis=1)       # exact f64
                 new = dict(
                     ii=c["ii"], jj=c["jj"],
                     kk=jnp.where(upd, k2, c["kk"]),
@@ -299,7 +329,8 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         return hunt, c["amax"], c["neval"], padded
 
     def jacobi_apply(st: CrossState, hunt, corner_count=None,
-                     live=None, skip_corners: bool = False) -> CrossState:
+                     live=None, skip_corners: bool = False,
+                     ret_accept: bool = False):
         """Batched acceptance + corner repair + vectorized reconstruction
         for a FULL-width (d-1 bonds) jacobi hunt result.  Deterministic in
         (st, hunt): on a mesh every device runs this replicated on the
@@ -351,6 +382,17 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         lu_c = jnp.where(ohs_u[:, :, None], c_new[:, None, :], st.lu_c)
         lu_u = jnp.where(ohs_u[:, :, None], u_new[:, None, :], st.lu_u)
         lu_d = jnp.where(ohs_u, pivot[:, None], st.lu_d)
+        # NOTE the FACTOR-CRITICAL contractions here stay einsum even
+        # though a batched f64 dot_general lowers to a serial while loop
+        # on this platform (~1.3 ms each at C_256): the dot_general
+        # lowering's pair products are ~3x more accurate than a
+        # broadcast-multiply + reduce-sum (1.2e-10 vs 3.2e-10 max rel
+        # under cancellation, measured 2026-08-21 — the emulated
+        # multiply, not the reduce tree, carries the error: a Neumaier
+        # compensated sum measured no better), and that noise feeds the
+        # growing factors, degrading PIVOT QUALITY by ~0.5-1 digit at
+        # C_256 r10-12 (measured 12.3 -> 10.9).  Telemetry-only paths
+        # (value chain, finalize) use the fast sum form instead.
         new_row = jnp.where(one_hot_s, 1.0,
                             -jnp.einsum("pr,prs->ps", c_new, st.itl))
         itl = jnp.where(ohs_u[:, :, None], new_row[:, None, :], st.itl)
@@ -376,9 +418,10 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         # whole block (skip_corners=True) — fresh rows are re-evaluated by
         # the other phase's padded hunt fibers instead.
         if skip_corners:
-            return _jacobi_reconstruct(st, upd, acol, arow, c_new, u_new,
-                                       itl, itt, one_hot_s, piv_safe,
-                                       pivotmax)
+            st = _jacobi_reconstruct(st, upd, acol, arow, c_new, u_new,
+                                     itl, itt, one_hot_s, piv_safe,
+                                     pivotmax)
+            return (st, upd, s_arr) if ret_accept else st
         lmiss = upd & jnp.concatenate([jnp.zeros((1,), bool), upd[:-1]])
         rmiss = upd & jnp.concatenate([upd[1:], jnp.zeros((1,), bool)])
         i_newL = (st.rk[:-2] - 1).astype(jnp.int32)            # new left link
@@ -416,8 +459,9 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         ohr = (iR[None, :] == q_newR[:, None]) & rmiss[:, None]
         arow = jnp.where(ohr[:, None, :], corner_row[:, :, None], arow)
 
-        return _jacobi_reconstruct(st, upd, acol, arow, c_new, u_new,
-                                   itl, itt, one_hot_s, piv_safe, pivotmax)
+        st = _jacobi_reconstruct(st, upd, acol, arow, c_new, u_new,
+                                 itl, itt, one_hot_s, piv_safe, pivotmax)
+        return (st, upd, s_arr) if ret_accept else st
 
     def _jacobi_reconstruct(st: CrossState, upd, acol, arow, c_new,
                             u_new, itl, itt, one_hot_s, piv_safe,
@@ -445,6 +489,7 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
 
         cores = set_col(st.cores, acol, upd)
         cores = set_row(cores, arow, upd)
+        # (einsum, not sum-form: factor-critical — see phase A note)
         itl_prev = jnp.concatenate([itl[:1], itl[:-1]])        # (nb, R, R)
         slc_l = jnp.einsum("pab,pbn->pan", itl_prev, acol)
         upd_l = upd & (ps > 0)
@@ -467,19 +512,28 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
         return st._replace(cores=cores, colf=colf, rowf=rowf,
                            pivotmax_prev=pivotmax)
 
-    def _sweep_jacobi_body(st: CrossState, dir_fwd: bool, lw=None) -> CrossState:
+    def _sweep_jacobi_body(st: CrossState, dir_fwd: bool, lw=None, cs=None):
+        """One jacobi sweep.  cs: optional carried packed interface
+        states (chain path only) — when given, the return is (st, cs')
+        with the states maintained incrementally (update_states) instead
+        of rebuilt by scan inside every hunt."""
         nb = d - 1
         key, sub = jax.random.split(st.key)
         U = jax.random.uniform(sub, (nb, 2, NLOT), jnp.float64)
         st = st._replace(key=key)
         if getattr(cfg, "rb", False):
-            return _rb_phases(st, U, dir_fwd, lw)
+            return _rb_phases(st, U, dir_fwd, lw, cs)
         hunt, amax, neval, padded = jacobi_hunt(
-            st, U, dir_fwd, 0, nb, jnp.ones((nb,), bool), lw)
+            st, U, dir_fwd, 0, nb, jnp.ones((nb,), bool), lw, cs=cs)
         st = st._replace(amax=amax, neval=neval, padded=padded)
-        return jacobi_apply(st, hunt)
+        if cs is None:
+            return jacobi_apply(st, hunt)
+        st, upd, slots = jacobi_apply(st, hunt, ret_accept=True)
+        cs = ce.update_states(cs[0], cs[1], hunt["ii"], hunt["jj"],
+                              hunt["kk"], hunt["qq"], upd, slots)
+        return st, cs
 
-    def _rb_phases(st: CrossState, U, dir_fwd: bool, lw=None) -> CrossState:
+    def _rb_phases(st: CrossState, U, dir_fwd: bool, lw=None, cs=None):
         """Red-black (two-phase Gauss-Seidel) sweep: even bonds hunt and
         accept batched, THEN odd bonds against the post-even factors.
 
@@ -505,15 +559,26 @@ def build_jacobi(cfg, fun, d, N, R, NLOT, iR, iN, n_arr, _decode_div,
             # phases (dmrgg.f90:598-600 uses the prior iteration's value)
             st = st._replace(pivotmax_prev=pm_prev)
             hunt, amax, neval, padded = jacobi_hunt(
-                st, U, dir_fwd, 0, nb, live, lw)
+                st, U, dir_fwd, 0, nb, live, lw, cs=cs)
             st = st._replace(amax=amax, neval=neval, padded=padded)
-            st = jacobi_apply(st, hunt, live=live, skip_corners=True)
+            if cs is None:
+                st = jacobi_apply(st, hunt, live=live, skip_corners=True)
+            else:
+                # maintain the carried states across the phase boundary:
+                # phase 2 hunts must see phase 1's new rows (the
+                # sequential-grade neighbor coupling rb exists for)
+                st, upd, slots = jacobi_apply(st, hunt, live=live,
+                                              skip_corners=True,
+                                              ret_accept=True)
+                cs = ce.update_states(cs[0], cs[1], hunt["ii"], hunt["jj"],
+                                      hunt["kk"], hunt["qq"], upd, slots)
             pms.append(st.pivotmax)
             pns.append(st.pivotmin)
         pm = jnp.maximum(pms[0], pms[1])          # -1 sentinel = no accept
         pn = jnp.where(pns[0] < 0, pns[1],
                        jnp.where(pns[1] < 0, pns[0],
                                  jnp.minimum(pns[0], pns[1])))
-        return st._replace(pivotmax=pm, pivotmin=pn, pivotmax_prev=pm)
+        st = st._replace(pivotmax=pm, pivotmin=pn, pivotmax_prev=pm)
+        return st if cs is None else (st, cs)
 
     return make_sweep_jacobi, jacobi_hunt, jacobi_apply, _sweep_jacobi_body

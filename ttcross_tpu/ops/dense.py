@@ -367,7 +367,14 @@ def balanced_matmul_chain(mats):
         mats = jnp.concatenate([mats, pad_eye], axis=0)
         ex = jnp.concatenate([ex, jnp.zeros((P - K,), ex.dtype)])
     while mats.shape[0] > 1:
-        prod = jnp.einsum("kab,kbc->kac", mats[0::2], mats[1::2])
+        # broadcast-multiply + reduce-sum, NOT einsum: a batched f64
+        # dot_general lowers to a SERIAL while loop on this platform's
+        # pair-emulated f64 (~1.3 ms per einsum at C_256, traced
+        # 2026-08-21); the elementwise product + reduce fuses into
+        # ordinary VPU kernels.  R is small (~10-25) so the (k, R, R, R)
+        # intermediate stays tiny.
+        prod = jnp.sum(mats[0::2][:, :, :, None] * mats[1::2][:, None],
+                       axis=2)
         prod, e = pow2_balance_mats(prod)
         mats, ex = prod, ex[0::2] + ex[1::2] + e
     return mats[0], ex[0]
